@@ -1,0 +1,215 @@
+package graft.image
+
+import SynthFont._
+
+/** Deterministic page renderer: draws text with the embedded synthetic
+  * Arabic font, right-to-left, with cursive baseline connectors,
+  * optional shear skew and seeded noise.
+  *
+  * Stands in for the reference's page rasterization
+  * (page.get_pixmap(matrix=fitz.Matrix(2,2)), smart.py:91-92): it is
+  * the "media store" that resolves a span's media_ref into page-image
+  * bytes. Because we render it, the expected OCR output is known
+  * exactly — the basis of the exact span-sequence-equality oracle
+  * (FIXTURES.md §1-2).
+  *
+  * Determinism contract: render(text, angle, noise, seed) is a pure
+  * function; all randomness flows from the explicit seed.
+  *
+  * Noise model (all survive binarization-exactness by construction):
+  *   - ink intensity jitter in [25, 80];
+  *   - background jitter in [200, 245];
+  *   - sparse "dust" dots in [170, 190] (cleaned by Otsu);
+  *   - per-glyph ink-pixel dropout, capped at SynthFont.MaxNoiseDrops
+  *     and constrained to keep the segmentation invariants (every
+  *     column keeps off-baseline ink; top/bottom rows keep ink).
+  *
+  * Skew model: vertical shear — each column x is shifted down by
+  * shiftY(angle, x). Exactly invertible on the pixel grid, so deskew
+  * (graft.ocr.Deskew) recovers the unskewed raster bit-exactly.
+  */
+object SynthRenderer {
+
+  /** wrap width of the text area in pixels (excluding margins) */
+  val MaxTextWidth = 420
+
+  val InkLo = 25; val InkHi = 80
+  val BgLo = 200; val BgHi = 245
+  // dust sits on the dark skirt of the background mode: with ink
+  // present, Otsu's between-class split always lands in the empty
+  // (InkHi, DustLo) gap, so dust binarizes to background regardless of
+  // density — "cleaned by binarization" is structural, not statistical
+  val DustLo = 188; val DustHi = 199
+
+  final case class Layout(lines: Vector[Vector[String]], textWidth: Int, textHeight: Int)
+
+  @inline def shiftY(angleMdeg: Int, x: Int): Int =
+    Math.round(Math.tan(angleMdeg / 1000.0 * Math.PI / 180.0) * x).toInt
+
+  /** Greedy RTL word wrap at MaxTextWidth. Pure function of the text. */
+  def layout(text: String): Layout = {
+    val words = text.split("\\s+").filter(_.nonEmpty).toVector
+    words.foreach(w => w.foreach { c =>
+      require(Charset(c), s"char not in synth font charset: U+${c.toInt.toHexString} '$c'")
+    })
+    if (words.isEmpty) return Layout(Vector.empty, 0, 0)
+    val lines = Vector.newBuilder[Vector[String]]
+    var cur = Vector.empty[String]
+    var curW = 0
+    words.foreach { w =>
+      val ww = wordWidth(w)
+      val cand = if (cur.isEmpty) ww else curW + WordGap + ww
+      if (cur.nonEmpty && cand > MaxTextWidth) {
+        lines += cur; cur = Vector(w); curW = ww
+      } else { cur = cur :+ w; curW = cand }
+    }
+    if (cur.nonEmpty) lines += cur
+    val ls = lines.result()
+    val tw = ls.map(lineWidth).max
+    val th = ls.size * GlyphH + (ls.size - 1) * LineGap
+    Layout(ls, tw, th)
+  }
+
+  def lineWidth(words: Seq[String]): Int =
+    words.map(wordWidth).sum + (words.size - 1) * WordGap
+
+  /** Canvas dimensions for a given text+angle (used by metadata ops
+    * and by the oracle constants in SparkEntry).
+    */
+  def dimensions(text: String, angleMdeg: Int): (Int, Int) = {
+    val l = layout(text)
+    if (l.lines.isEmpty) (16, 16)
+    else {
+      val w = l.textWidth + 2 * Margin
+      val skew = math.abs(shiftY(angleMdeg, w - 1))
+      (w, l.textHeight + 2 * Margin + skew)
+    }
+  }
+
+  private final class Rng(seed: Long) {
+    private var s = seed
+    @inline private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def nextInt(bound: Int): Int = { s = mix(s); ((s >>> 1) % bound).toInt }
+  }
+
+  def render(text: String, angleMdeg: Int, noisePpm: Int, seed: Long): GrayImage = {
+    val l = layout(text)
+    val (w, h) = dimensions(text, angleMdeg)
+    val rng = new Rng(seed * 1000003L + angleMdeg * 7919L + noisePpm)
+    val img = GrayImage.filled(w, h, 0)
+    // background jitter
+    var i = 0
+    while (i < img.pixels.length) {
+      img.pixels(i) = (BgLo + rng.nextInt(BgHi - BgLo + 1)).toByte
+      i += 1
+    }
+    // negative angles shift up: bias so everything stays in-canvas
+    val yoff = math.max(0, -shiftY(angleMdeg, w - 1))
+    @inline def put(x: Int, y: Int): Unit = {
+      val yy = y + yoff + shiftY(angleMdeg, x)
+      if (x >= 0 && x < w && yy >= 0 && yy < h)
+        img.set(x, yy, InkLo + rng.nextInt(InkHi - InkLo + 1))
+    }
+
+    var lineIdx = 0
+    l.lines.foreach { words =>
+      val y0 = Margin + lineIdx * (GlyphH + LineGap)
+      var xRight = Margin + lineWidth(words) // exclusive right edge
+      words.foreach { word =>
+        val forms = shapeWord(word)
+        var gi = 0
+        while (gi < word.length) {
+          val gx = xRight - (gi + 1) * GlyphW - gi * LetterGap // left edge of glyph gi
+          val bm = glyphWithDropout(GlyphId(word.charAt(gi), forms(gi)), noisePpm, rng)
+          var r = 0
+          while (r < GlyphH) {
+            var c = 0
+            while (c < GlyphW) {
+              if (bm(r * GlyphW + c)) put(gx + c, y0 + r)
+              c += 1
+            }
+            r += 1
+          }
+          // cursive connector to the NEXT letter (drawn to the left)
+          if (forms(gi) == Initial || forms(gi) == Medial) {
+            put(gx - 2, y0 + Baseline)
+            put(gx - 1, y0 + Baseline)
+          }
+          gi += 1
+        }
+        xRight -= wordWidth(word) + WordGap
+      }
+      lineIdx += 1
+    }
+
+    // dust: sparse mid-gray dots on background (cleaned by Otsu)
+    if (noisePpm > 0 && l.lines.nonEmpty) {
+      val nDots = (w.toLong * h * noisePpm / 1000000L).toInt
+      var d = 0
+      while (d < nDots) {
+        val x = rng.nextInt(w); val y = rng.nextInt(h)
+        if (img(x, y) >= BgLo) img.set(x, y, DustLo + rng.nextInt(DustHi - DustLo + 1))
+        d += 1
+      }
+    }
+    img
+  }
+
+  /** Copy of the glyph bitmap with up to MaxNoiseDrops ink pixels
+    * removed, preserving the segmentation invariants.
+    */
+  private def glyphWithDropout(g: GlyphId, noisePpm: Int, rng: Rng): Array[Boolean] = {
+    val base = Bitmaps(GlyphIndex(g))
+    if (noisePpm <= 0) return base
+    val dropThreshold = math.min(noisePpm.toLong * 50L, 400000L) // <=40% per attempt
+    val bm = base.clone()
+    var drops = 0
+    var attempt = 0
+    while (attempt < MaxNoiseDrops) {
+      if (rng.nextInt(1000000) < dropThreshold) {
+        // pick a random ink pixel; drop it if invariants survive
+        val inkIdx = {
+          val idxs = Array.newBuilder[Int]
+          var i = 0
+          while (i < bm.length) { if (bm(i)) idxs += i; i += 1 }
+          idxs.result()
+        }
+        if (inkIdx.nonEmpty) {
+          val pick = inkIdx(rng.nextInt(inkIdx.length))
+          val r = pick / GlyphW; val c = pick % GlyphW
+          if (canDrop(bm, r, c)) { bm(pick) = false; drops += 1 }
+        }
+      }
+      attempt += 1
+    }
+    bm
+  }
+
+  private def canDrop(bm: Array[Boolean], r: Int, c: Int): Boolean = {
+    @inline def colOffBaseline(cc: Int): Int = {
+      var n = 0; var rr = 0
+      while (rr < GlyphH) { if (rr != Baseline && bm(rr * GlyphW + cc)) n += 1; rr += 1 }
+      n
+    }
+    @inline def colTotal(cc: Int): Int = {
+      var n = 0; var rr = 0
+      while (rr < GlyphH) { if (bm(rr * GlyphW + cc)) n += 1; rr += 1 }
+      n
+    }
+    @inline def rowCount(rr: Int): Int = {
+      var n = 0; var cc = 0
+      while (cc < GlyphW) { if (bm(rr * GlyphW + cc)) n += 1; cc += 1 }
+      n
+    }
+    // keep: per-column off-baseline ink (connector disambiguation),
+    // >=2 total ink per column (a single-ink column must ONLY ever be a
+    // true connector stroke), and per-row coverage (band contiguity)
+    val okCol = r == Baseline || colOffBaseline(c) >= 2
+    okCol && colTotal(c) >= 3 && rowCount(r) >= 2
+  }
+}

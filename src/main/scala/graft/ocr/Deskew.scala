@@ -1,0 +1,98 @@
+package graft.ocr
+
+import graft.image.{BinaryImage, SynthRenderer}
+
+/** Projection-profile deskew via angle search (SURVEY.md §2.4 O1:
+  * "projection-profile deskew (angle search)").
+  *
+  * The skew model is a vertical shear (column x shifted down by
+  * shiftY(angle, x)); candidate angles are scored by the "peakiness"
+  * of the horizontal projection after unshearing — sum of squared row
+  * counts, which is strictly maximal when text rows realign into their
+  * 10-pixel bands (splitting a band's count c into a+b, a,b>0 always
+  * lowers a²+b²). The shear is exactly invertible on the pixel grid,
+  * so the detected angle restores the unskewed raster bit-exactly.
+  */
+object Deskew {
+
+  /** Candidate grid, millidegrees. Must cover the renderer's range. */
+  val AngleGridMdeg: IndexedSeq[Int] = {
+    val grid = (-3000 to 3000 by 250).toIndexedSeq
+    // evaluate in |angle|-ascending order so score ties resolve to the
+    // smallest skew (identical pixel mappings on narrow images)
+    grid.sortBy(a => (math.abs(a), a))
+  }
+
+  @inline private def shift(angleMdeg: Int, x: Int): Int = SynthRenderer.shiftY(angleMdeg, x)
+
+  /** Candidate angles ranked best-first. Primary criterion: fewest
+    * occupied rows after unshearing (the true angle realigns every
+    * text line into exactly GlyphH rows; any materially different
+    * mapping pokes pixels out of a band). Secondary: peakiness
+    * (sum of squared row counts). Ties resolve toward zero skew.
+    * The engine validates the top candidate structurally and falls
+    * back down this ranking on the rare narrow-image ambiguity.
+    */
+  def rankedAngles(bin: BinaryImage): IndexedSeq[Int] = {
+    val n = bin.inkCount
+    if (n == 0) return IndexedSeq(0)
+    val xs = new Array[Int](n)
+    val ys = new Array[Int](n)
+    var k = 0
+    var y = 0
+    while (y < bin.height) {
+      var x = 0
+      while (x < bin.width) {
+        if (bin(x, y)) { xs(k) = x; ys(k) = y; k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val maxAbsShift = math.abs(shift(3000, bin.width - 1)) + 1
+    val rows = new Array[Int](bin.height + 2 * maxAbsShift)
+    val scored = AngleGridMdeg.map { a =>
+      java.util.Arrays.fill(rows, 0)
+      var i = 0
+      while (i < n) {
+        rows(ys(i) - shift(a, xs(i)) + maxAbsShift) += 1
+        i += 1
+      }
+      var occupied = 0
+      var peak = 0L
+      var r = 0
+      while (r < rows.length) {
+        val c = rows(r).toLong
+        if (c > 0) occupied += 1
+        peak += c * c
+        r += 1
+      }
+      (a, occupied, peak)
+    }
+    scored.sortBy { case (a, occ, peak) => (occ, -peak, math.abs(a), a) }.map(_._1)
+  }
+
+  /** Best single angle (convenience; the engine uses rankedAngles). */
+  def detectAngle(bin: BinaryImage): Int = rankedAngles(bin).head
+
+  /** Invert the shear for the given angle. */
+  def unshear(bin: BinaryImage, angleMdeg: Int): BinaryImage = {
+    if (angleMdeg == 0) return bin
+    val sEdge = shift(angleMdeg, bin.width - 1)
+    val off = math.max(0, sEdge) // positive angles shifted down; restore up
+    val newH = bin.height + math.abs(sEdge)
+    val out = BinaryImage.blank(bin.width, newH)
+    var y = 0
+    while (y < bin.height) {
+      var x = 0
+      while (x < bin.width) {
+        if (bin(x, y)) {
+          val ny = y - shift(angleMdeg, x) + off
+          if (ny >= 0 && ny < newH) out.set(x, ny, true)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

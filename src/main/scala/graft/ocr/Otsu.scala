@@ -1,0 +1,51 @@
+package graft.ocr
+
+import graft.image.{BinaryImage, GrayImage}
+
+/** Otsu global binarization — the first from-scratch OCR stage (the
+  * reference delegates this to its OCR libraries' preprocessing; see
+  * SURVEY.md §2.4 O1). Classic maximization of between-class variance
+  * over the intensity histogram; pixels <= threshold are ink.
+  */
+object Otsu {
+
+  /** Threshold t maximizing between-class variance, classes [0..t] and
+    * [t+1..255]. Ties resolve to the smallest t (deterministic).
+    */
+  def threshold(hist: Array[Int]): Int = {
+    val total = hist.sum.toLong
+    if (total == 0) return 127
+    var sumAll = 0L
+    var i = 0
+    while (i < 256) { sumAll += i.toLong * hist(i); i += 1 }
+    var w0 = 0L
+    var sum0 = 0L
+    var best = -1.0
+    var bestT = 127
+    var t = 0
+    while (t < 255) {
+      w0 += hist(t)
+      sum0 += t.toLong * hist(t)
+      val w1 = total - w0
+      if (w0 > 0 && w1 > 0) {
+        val m0 = sum0.toDouble / w0
+        val m1 = (sumAll - sum0).toDouble / w1
+        val between = w0.toDouble * w1 * (m0 - m1) * (m0 - m1)
+        if (between > best) { best = between; bestT = t }
+      }
+      t += 1
+    }
+    bestT
+  }
+
+  def binarize(img: GrayImage): BinaryImage = {
+    val t = threshold(img.histogram)
+    val out = BinaryImage.blank(img.width, img.height)
+    var i = 0
+    while (i < img.pixels.length) {
+      out.bits(i) = (img.pixels(i) & 0xff) <= t
+      i += 1
+    }
+    out
+  }
+}

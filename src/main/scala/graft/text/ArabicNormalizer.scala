@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Arabic text normalization — T2 (basic) and T3 (enhanced) in
+  * SURVEY.md §2.3, reimplementing clean_arabic_text:
+  *
+  *   basic    (scripts/all-pdf-to-json-smart.py:187-203):
+  *     collapse whitespace -> fold alef variants to bare alef ->
+  *     teh marbuta -> heh, yeh -> alef maksura -> strip diacritics +
+  *     tatweel [ً-ٰٟـ] -> trim
+  *   enhanced (scripts/all-pdf-to-json-smart-structured.py:324-345):
+  *     basic + second whitespace collapse + Arabic punctuation
+  *     [۔؍؎؏؞؟] -> "."
+  *     (the reference's Kaf/Yeh "confusable" replaces at :335 are
+  *     literal no-ops — same codepoints both sides — and are omitted;
+  *     documented deviation none, semantics identical)
+  *
+  * Three twin forms with one source of truth for the char tables:
+  *   - `normalizeBasic`/`normalizeEnhanced`: pure Scala, used inside the
+  *     typed mapPartitions OCR stage (per-span, off the SQL path);
+  *   - `*Col`: Catalyst Column expressions (whole-stage-codegen'd);
+  *   - `*Sql`: ANSI SQL text for the DuckDB oracle.
+  * ScalaCheck property tests pin all three to identical outputs.
+  *
+  * Whitespace contract: the reference uses Python str.split() (any
+  * Unicode whitespace); we standardize on ASCII whitespace `\s` which
+  * is identical on every fixture and driver table in scope.
+  */
+object ArabicNormalizer {
+
+  // single source of truth for char tables
+  val TranslateFrom = "أإآةي" // أ إ آ ة ي
+  val TranslateTo = "اااهى" // ا ا ا ه ى
+  val DiacriticChars: String = (0x064b to 0x065f).map(_.toChar).mkString + "ٰـ"
+  val ArabicPunct = "۔؍؎؏؞؟" // ۔؍؎؏؞؟
+  private val diacriticsClass = "[" + DiacriticChars + "]"
+  private val punctClass = "[" + ArabicPunct + "]"
+
+  // ---- pure Scala twins ------------------------------------------------
+
+  private def collapseWs(s: String): String =
+    s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+
+  def normalizeBasic(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    var t = collapseWs(s)
+    t = translateStr(t)
+    t = t.replaceAll(diacriticsClass, "")
+    t.trim
+  }
+
+  def normalizeEnhanced(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    var t = collapseWs(s)
+    t = translateStr(t)
+    t = t.replaceAll(diacriticsClass, "")
+    t = t.replaceAll("\\s+", " ")
+    t = t.replaceAll(punctClass, ".")
+    t.trim
+  }
+
+  private def translateStr(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      val i = TranslateFrom.indexOf(c)
+      sb.append(if (i >= 0) TranslateTo.charAt(i) else c)
+    }
+    sb.toString
+  }
+
+  // ---- Catalyst Column twins (codegen-friendly, no UDF) ----------------
+
+  def normalizeBasicCol(c: Column): Column = {
+    val collapsed = trim(regexp_replace(coalesce(c, lit("")), "\\s+", " "))
+    trim(regexp_replace(translate(collapsed, TranslateFrom, TranslateTo), diacriticsClass, ""))
+  }
+
+  def normalizeEnhancedCol(c: Column): Column = {
+    val basic = regexp_replace(
+      translate(trim(regexp_replace(coalesce(c, lit("")), "\\s+", " ")), TranslateFrom, TranslateTo),
+      diacriticsClass, "")
+    trim(regexp_replace(regexp_replace(basic, "\\s+", " "), punctClass, "."))
+  }
+
+  // ---- SQL text twins (DuckDB dialect; RE2 regex, literal char classes) -
+
+  /** SQL-escape a string literal. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  def normalizeBasicSql(expr: String): String = {
+    val collapsed = s"trim(regexp_replace(coalesce($expr, ''), '\\s+', ' ', 'g'))"
+    val translated = s"translate($collapsed, ${sqlLit(TranslateFrom)}, ${sqlLit(TranslateTo)})"
+    s"trim(regexp_replace($translated, ${sqlLit(diacriticsClass)}, '', 'g'))"
+  }
+
+  def normalizeEnhancedSql(expr: String): String = {
+    val basic = {
+      val collapsed = s"trim(regexp_replace(coalesce($expr, ''), '\\s+', ' ', 'g'))"
+      val translated = s"translate($collapsed, ${sqlLit(TranslateFrom)}, ${sqlLit(TranslateTo)})"
+      s"regexp_replace($translated, ${sqlLit(diacriticsClass)}, '', 'g')"
+    }
+    s"trim(regexp_replace(regexp_replace($basic, '\\s+', ' ', 'g'), ${sqlLit(ArabicPunct.map(ch => ch.toString).mkString("[", "", "]"))}, '.', 'g'))"
+  }
+}

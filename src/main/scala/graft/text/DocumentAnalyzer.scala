@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Document-type analysis — A9..A12 in SURVEY.md §2.5, reimplementing
+  * analyze_document_type (scripts/all-pdf-to-json-smart-structured.py:267-322,
+  * duplicated at all-pdf-to-json-structured.py:115-144):
+  *
+  *   - per-category keyword counts over 5 ordered legal-term lists
+  *     (non-overlapping substring counts, Python str.count);
+  *   - detected type = the FIRST category (in list order) achieving the
+  *     strictly-largest count ("count > max_count" with max_count
+  *     starting at 0 => all-zero counts -> "Unknown");
+  *   - confidence = min(max_count / 10, 1.0)  (:308);
+  *   - article_count = #matches of `مادة\s*\d+`  (:310-312);
+  *   - contains_dates: `\d{4}/\d{1,2}/\d{1,2}|\d{4}هـ|\d{4}\s*م` (:315);
+  *   - key_patterns: first 5 '.'-split parts, stripped, kept if
+  *     length > 10, truncated to 100 chars (:318-320).
+  *
+  * Scala / Column / SQL twins share the term tables.
+  */
+object DocumentAnalyzer {
+
+  /** Ordered categories (dict iteration order in the reference, :283-289). */
+  val Categories: Seq[(String, Seq[String])] = Seq(
+    "regulation" -> Seq("نظام", "لائحة", "قانون", "تنظيم"),
+    "court_ruling" -> Seq("حكم", "قرار", "محكمة", "قضية", "دعوى"),
+    "contract" -> Seq("عقد", "اتفاقية", "مقاولة", "شراكة"),
+    "law_article" -> Seq("مادة", "فقرة", "بند", "فصل"),
+    "judicial_collection" -> Seq("مجموعة", "أحكام", "قضائية", "سابقة")
+  )
+
+  val ArticleRegex = "مادة\\s*\\d+"
+  val DateRegex = "\\d{4}/\\d{1,2}/\\d{1,2}|\\d{4}هـ|\\d{4}\\s*م"
+
+  final case class Analysis(
+      documentType: String,
+      confidence: Double,
+      legalTermsFound: Seq[String],
+      articleCount: Int,
+      containsDates: Boolean,
+      keyPatterns: Seq[String]
+  )
+
+  // ---- pure Scala twin --------------------------------------------------
+
+  /** Non-overlapping substring count (Python str.count semantics). */
+  def countOccurrences(haystack: String, needle: String): Int = {
+    if (needle.isEmpty) return 0
+    var n = 0
+    var i = haystack.indexOf(needle)
+    while (i >= 0) { n += 1; i = haystack.indexOf(needle, i + needle.length) }
+    n
+  }
+
+  def analyze(text: String): Analysis = {
+    val lower = text.toLowerCase
+    var maxCount = 0
+    var detected = "Unknown"
+    val found = Seq.newBuilder[String]
+    Categories.foreach { case (cat, terms) =>
+      val count = terms.map(countOccurrences(lower, _)).sum
+      if (count > maxCount) { maxCount = count; detected = cat }
+      terms.foreach(t => if (lower.contains(t)) found += t)
+    }
+    val articleCount = ArticleRegex.r.findAllMatchIn(text).size
+    val containsDates = DateRegex.r.findFirstIn(text).isDefined
+    val keyPatterns = text.split("\\.", -1).take(5).toSeq
+      .map(_.trim).filter(_.length > 10).map(_.take(100))
+    Analysis(detected, math.min(maxCount / 10.0, 1.0), found.result(), articleCount, containsDates, keyPatterns)
+  }
+
+  // ---- Catalyst Column twins ---------------------------------------------
+
+  /** Non-overlapping literal substring count as a Column expression. */
+  def countCol(text: Column, term: String): Column =
+    ((length(text) - length(call_function("replace", text, lit(term), lit("")))) / length(lit(term))).cast("int")
+
+  def categoryCountCol(text: Column, terms: Seq[String]): Column =
+    terms.map(countCol(text, _)).reduce(_ + _)
+
+  /** (document_type, confidence) columns; `lower` must already be lowercased. */
+  def docTypeCols(lower: Column): (Column, Column) = {
+    val counts = Categories.map { case (cat, terms) => cat -> categoryCountCol(lower, terms) }
+    val maxCount = greatest(counts.map(_._2): _*)
+    val detected = counts.foldRight(lit("Unknown")) { case ((cat, cnt), els) =>
+      when(cnt === maxCount, lit(cat)).otherwise(els)
+    }
+    // first category achieving the max: foldRight builds the when-chain
+    // in order, so the earliest match wins; all-zero -> Unknown
+    val typ = when(maxCount === 0, lit("Unknown")).otherwise(detected)
+    val conf = least(maxCount.cast("double") / 10.0, lit(1.0))
+    (typ, conf)
+  }
+
+  def articleCountCol(text: Column): Column = regexp_count(text, lit(ArticleRegex))
+
+  def containsDatesCol(text: Column): Column = text.rlike(DateRegex)
+
+  def keyPatternsCol(text: Column): Column =
+    transform(
+      filter(
+        transform(slice(split(text, "\\.", -1), 1, 5), s => trim(s)),
+        s => length(s) > 10),
+      s => substring(s, 1, 100))
+
+  // ---- SQL text twins (DuckDB) --------------------------------------------
+
+  import ArabicNormalizer.sqlLit
+
+  def countSql(expr: String, term: String): String =
+    s"CAST((length($expr) - length(replace($expr, ${sqlLit(term)}, ''))) / ${term.length} AS INT)"
+
+  def categoryCountSql(expr: String, terms: Seq[String]): String =
+    terms.map(countSql(expr, _)).mkString("(", " + ", ")")
+
+  /** SQL for (document_type, confidence); pass a lowercased expr. */
+  def docTypeSql(lower: String): (String, String) = {
+    val counts = Categories.map { case (cat, terms) => cat -> categoryCountSql(lower, terms) }
+    val maxExpr = counts.map(_._2).mkString("greatest(", ", ", ")")
+    val chain = counts.map { case (cat, cnt) => s"WHEN $cnt = m THEN ${sqlLit(cat)}" }.mkString(" ")
+    val typ = s"(CASE WHEN m = 0 THEN 'Unknown' $chain ELSE 'Unknown' END)"
+    val conf = "least(m / 10.0, 1.0)"
+    // callers must alias maxExpr as m in a lateral/subquery
+    (typ, conf)
+  }
+
+  def maxCountSql(lower: String): String =
+    Categories.map { case (_, terms) => categoryCountSql(lower, terms) }
+      .mkString("greatest(", ", ", ")")
+
+  def articleCountSql(expr: String): String =
+    s"CAST(len(regexp_extract_all($expr, ${sqlLit(ArticleRegex)})) AS INT)"
+
+  def containsDatesSql(expr: String): String =
+    s"regexp_matches($expr, ${sqlLit(DateRegex)})"
+}
