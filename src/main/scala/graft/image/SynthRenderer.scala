@@ -46,9 +46,11 @@ object SynthRenderer {
   @inline def shiftY(angleMdeg: Int, x: Int): Int =
     Math.round(Math.tan(angleMdeg / 1000.0 * Math.PI / 180.0) * x).toInt
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** Greedy RTL word wrap at MaxTextWidth. Pure function of the text. */
   def layout(text: String): Layout = {
-    val words = text.split("\\s+").filter(_.nonEmpty).toVector
+    val words = wsPattern.split(text).filter(_.nonEmpty).toVector
     words.foreach(w => w.foreach { c =>
       require(Charset(c), s"char not in synth font charset: U+${c.toInt.toHexString} '$c'")
     })
@@ -110,10 +112,14 @@ object SynthRenderer {
     }
     // negative angles shift up: bias so everything stays in-canvas
     val yoff = math.max(0, -shiftY(angleMdeg, w - 1))
+    // per-column shear lookup: one tan() per render, not per pixel
+    val shiftX = Array.tabulate(w)(x => shiftY(angleMdeg, x))
     @inline def put(x: Int, y: Int): Unit = {
-      val yy = y + yoff + shiftY(angleMdeg, x)
-      if (x >= 0 && x < w && yy >= 0 && yy < h)
-        img.set(x, yy, InkLo + rng.nextInt(InkHi - InkLo + 1))
+      if (x >= 0 && x < w) {
+        val yy = y + yoff + shiftX(x)
+        if (yy >= 0 && yy < h)
+          img.set(x, yy, InkLo + rng.nextInt(InkHi - InkLo + 1))
+      }
     }
 
     var lineIdx = 0

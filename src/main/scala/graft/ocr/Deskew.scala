@@ -50,11 +50,16 @@ object Deskew {
     }
     val maxAbsShift = math.abs(shift(3000, bin.width - 1)) + 1
     val rows = new Array[Int](bin.height + 2 * maxAbsShift)
+    val shiftX = new Array[Int](bin.width) // reused across angles
     val scored = AngleGridMdeg.map { a =>
       java.util.Arrays.fill(rows, 0)
+      // per-column shift lookup: one tan() per angle, not per pixel
+      val tanA = Math.tan(a / 1000.0 * Math.PI / 180.0)
+      var x = 0
+      while (x < bin.width) { shiftX(x) = Math.round(tanA * x).toInt; x += 1 }
       var i = 0
       while (i < n) {
-        rows(ys(i) - shift(a, xs(i)) + maxAbsShift) += 1
+        rows(ys(i) - shiftX(xs(i)) + maxAbsShift) += 1
         i += 1
       }
       var occupied = 0
@@ -81,12 +86,13 @@ object Deskew {
     val off = math.max(0, sEdge) // positive angles shifted down; restore up
     val newH = bin.height + math.abs(sEdge)
     val out = BinaryImage.blank(bin.width, newH)
+    val shiftX = Array.tabulate(bin.width)(x => shift(angleMdeg, x))
     var y = 0
     while (y < bin.height) {
       var x = 0
       while (x < bin.width) {
         if (bin(x, y)) {
-          val ny = y - shift(angleMdeg, x) + off
+          val ny = y - shiftX(x) + off
           if (ny >= 0 && ny < newH) out.set(x, ny, true)
         }
         x += 1

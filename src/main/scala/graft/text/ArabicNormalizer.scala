@@ -40,14 +40,19 @@ object ArabicNormalizer {
 
   // ---- pure Scala twins ------------------------------------------------
 
+  // precompiled patterns: these run once per span in the OCR hot path
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val diacriticsPattern = java.util.regex.Pattern.compile(diacriticsClass)
+  private val punctPattern = java.util.regex.Pattern.compile(punctClass)
+
   private def collapseWs(s: String): String =
-    s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    wsPattern.split(s).filter(_.nonEmpty).mkString(" ")
 
   def normalizeBasic(s: String): String = {
     if (s == null || s.isEmpty) return ""
     var t = collapseWs(s)
     t = translateStr(t)
-    t = t.replaceAll(diacriticsClass, "")
+    t = diacriticsPattern.matcher(t).replaceAll("")
     t.trim
   }
 
@@ -55,9 +60,9 @@ object ArabicNormalizer {
     if (s == null || s.isEmpty) return ""
     var t = collapseWs(s)
     t = translateStr(t)
-    t = t.replaceAll(diacriticsClass, "")
-    t = t.replaceAll("\\s+", " ")
-    t = t.replaceAll(punctClass, ".")
+    t = diacriticsPattern.matcher(t).replaceAll("")
+    t = wsPattern.matcher(t).replaceAll(" ")
+    t = punctPattern.matcher(t).replaceAll(".")
     t.trim
   }
 

@@ -80,11 +80,15 @@ object DocumentAnalyzer {
   def categoryCountCol(text: Column, terms: Seq[String]): Column =
     terms.map(countCol(text, _)).reduce(_ + _)
 
-  /** (document_type, confidence) columns; `lower` must already be lowercased. */
-  def docTypeCols(lower: Column): (Column, Column) = {
-    val counts = Categories.map { case (cat, terms) => cat -> categoryCountCol(lower, terms) }
-    val maxCount = greatest(counts.map(_._2): _*)
-    val detected = counts.foldRight(lit("Unknown")) { case ((cat, cnt), els) =>
+  /** (document_type, confidence) columns over pre-materialized count
+    * columns `cnt_<category>` (see analyzeDf). Referencing columns —
+    * not re-inlined count expressions — keeps the optimizer's
+    * expression tree small; inlining the 21-term count trees into the
+    * 3x-duplicated when-chain made planning quadratic.
+    */
+  def docTypeCols(cntCols: Seq[(String, Column)]): (Column, Column) = {
+    val maxCount = greatest(cntCols.map(_._2): _*)
+    val detected = cntCols.foldRight(lit("Unknown")) { case ((cat, cnt), els) =>
       when(cnt === maxCount, lit(cat)).otherwise(els)
     }
     // first category achieving the max: foldRight builds the when-chain
@@ -92,6 +96,24 @@ object DocumentAnalyzer {
     val typ = when(maxCount === 0, lit("Unknown")).otherwise(detected)
     val conf = least(maxCount.cast("double") / 10.0, lit(1.0))
     (typ, conf)
+  }
+
+  /** Full analysis projection keyed by `keyCol`: materialize
+    * per-category counts once, then derive type/confidence from the
+    * count columns.
+    */
+  def analyzeDf(df: org.apache.spark.sql.DataFrame, lowered: Column, keyCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    // materialize the (possibly expensive) lowered expression ONCE; the
+    // 21 term-count expressions reference the column, keeping the plan
+    // tree linear in #terms instead of #terms x |lowered|
+    val base = df.select(col(keyCol), lowered.as("lowered_txt"))
+    val withCounts = base.select(col(keyCol) +: Categories.map { case (cat, terms) =>
+      categoryCountCol(col("lowered_txt"), terms).as(s"cnt_$cat")
+    }: _*)
+    val cntCols = Categories.map { case (cat, _) => cat -> col(s"cnt_$cat") }
+    val (typ, conf) = docTypeCols(cntCols)
+    withCounts.select(col(keyCol), typ.as("document_type"), conf.as("confidence"))
   }
 
   def articleCountCol(text: Column): Column = regexp_count(text, lit(ArticleRegex))

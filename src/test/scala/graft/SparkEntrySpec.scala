@@ -1,0 +1,59 @@
+package graft
+
+import graft.pipeline.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract pinning: every inventory query runs and returns
+  * rows on the smoke scale; oracle keys map to real queries; plans
+  * keep column pruning intact (the scan must not read unused columns).
+  */
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- qs
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("all queries execute and return rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("column pruning: t5_counts scan reads only doc_id + text") {
+    val plan = SparkEntry.queries("t5_counts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), plan.take(500))
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("filter pushdown: j2 anti-join keeps parquet scan filters minimal and broadcasts") {
+    val plan = SparkEntry.queries("j2_resume_antijoin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"anti-join not broadcast:\n${plan.take(800)}")
+  }
+
+  test("ann queries broadcast the query side") {
+    val plan = SparkEntry.queries("ann_cosine_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the normalization path") {
+    val plan = SparkEntry.queries("t2_normalize_basic")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // executedPlan.toString marks codegen stages with "*(n)"
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan.take(500))
+  }
+}

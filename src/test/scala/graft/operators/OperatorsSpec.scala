@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup + similarity operators: planted-duplicate recall and
+  * agreement between the scale path (LSH) and the exact baseline.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val vocabs = Vector.tabulate(40)(i => s"w$i")
+    def doc(id: Long, words: Seq[String], lang: String) = (id, words.mkString(" "), lang)
+    val base = (0 until 120).map { i =>
+      val words = (0 until 30).map(_ => vocabs(rnd.nextInt(vocabs.length)))
+      doc(i.toLong, words, if (i % 2 == 0) "en" else "de")
+    }
+    // planted near-dups: copy doc text with one word changed (same lang
+    // parity, id within the +25 window)
+    val dups = Seq(
+      (200L, base(10)._2.replaceFirst("\\w+", "changed"), base(10)._3),
+      (201L, base(11)._2, base(11)._3), // exact dup
+      (202L, base(12)._2 + " extra", base(12)._3)
+    )
+    // ids adjacent to their originals for the windowed-jaccard check
+    val windowed = Seq(
+      (13L * 1000 + 1, base(20)._2, base(20)._3)
+    )
+    val _ = windowed
+    (base ++ dups).toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup: identical texts collapse to one group") {
+    val df = corpus()
+    val groups = Dedup.exactGroups(df).where(col("n_docs") > 1).collect()
+    assert(groups.length == 1) // doc 201 == doc 11
+    assert(groups.head.getAs[Long]("keep_id") == 11L)
+    assert(Dedup.exactDedup(df).count() == df.count() - 1)
+  }
+
+  test("minhash-lsh: planted near-dups recovered with jaccard >= 0.8") {
+    val pairs = Dedup.minhashLshPairs(corpus(), bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((11L, 201L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((10L, 200L)) || pairs.contains((12L, 202L)),
+      s"no near-dup pair recovered: $pairs")
+  }
+
+  test("simhash: exact dup has hamming 0; near-dups within threshold") {
+    val pairs = Dedup.simhashPairs(corpus(), maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val exact = pairs.find(p => p._1 == 11L && p._2 == 201L)
+    assert(exact.exists(_._3 == 0), s"exact dup hamming: $exact")
+  }
+
+  test("lsh ANN: high recall of brute-force top-3 on clustered embeddings") {
+    // LSH recall is only meaningful when true neighbors are angularly
+    // close; uniform-random vectors have no structure to preserve.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    val emb = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.1f - 0.05f), i % 8)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annLshTopK(emb, queries, 3, planes = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.size == 15)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall (approx=${approx.size})")
+  }
+
+  test("brute-force ANN: scores match an independent Scala computation") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), 0))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.cosineTopK(emb, emb.where(col("vec_id") === 0), 5)
+      .select("neighbor_id", "score").as[(Long, Double)].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs.head._2
+    val want = vecs.tail.map(v => v._1 -> cos(q, v._2)).sortBy(-_._2).take(5).toMap
+    assert(got.keySet == want.keySet, s"got=$got want=$want")
+    got.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-6) }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import graft.fixtures.DocGen
+import graft.model.Doc
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** End-to-end pipeline tests: exact span-sequence equality, order
+  * restoration, skew fixture, and partition-granular resume
+  * (SURVEY.md §5.2 items 4-5).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("e2e: exact span-sequence equality on mixed fixture, shuffled input order") {
+    val docs = DocGen.synthetic(spark, nDocs = 60, seed = 7L)
+    val out = ExtractionJob.extract(spark, docs, ExtractionJob.Config(numPartitions = 4))
+      .collect().map(d => d.doc_id -> d).toMap
+    val expected = docs.collect()
+    assert(out.size == 60)
+    expected.foreach { in =>
+      val got = out(in.doc_id)
+      val want = DocGen.expectedSpans(in)
+      assert(got.spans == want, s"doc ${in.doc_id}")
+      assert(got.error.isEmpty)
+      assert(got.metrics.failed_spans == 0)
+      assert(got.metrics.ocr_spans == in.spans.count(_.kind == "image"))
+      assert(got.metrics.direct_spans == in.spans.count(_.kind == "text"))
+    }
+  }
+
+  test("e2e: skewed fixture (image-heavy hot docs) stays exact") {
+    val docs = DocGen.synthetic(spark, nDocs = 40, seed = 13L, skewed = true)
+    val out = ExtractionJob.extract(spark, docs, ExtractionJob.Config(numPartitions = 4))
+      .collect().map(d => d.doc_id -> d).toMap
+    val ins = docs.collect()
+    assert(ins.exists(_.spans.size > 12), "fixture should contain hot docs")
+    ins.foreach { in =>
+      assert(out(in.doc_id).spans == DocGen.expectedSpans(in), s"doc ${in.doc_id}")
+    }
+  }
+
+  test("media failure: span swallowed as failed, doc continues (reference semantics)") {
+    import spark.implicits._
+    val bad = Doc("doc-bad", Seq(
+      graft.model.Span("text", "سليم", "", 0),
+      graft.model.Span("image", "", "synth://v1/not-a-number/0/0/xx", 1),
+      graft.model.Span("image", "", graft.image.SynthMediaStore.ref("نظام", 0, 0, 1L), 2)))
+    val out = ExtractionJob.extract(spark, spark.createDataset(Seq(bad))).collect().head
+    assert(out.error.isEmpty)
+    assert(out.metrics.failed_spans == 1)
+    assert(out.spans(0).text == "سليم")
+    assert(out.spans(1).text == "")
+    assert(out.spans(2).text == "نظام")
+  }
+
+  test("resume: pre-completed partitions are skipped, final table identical, no duplicate work") {
+    val docs = DocGen.synthetic(spark, nDocs = 50, seed = 21L)
+    val cfg = ExtractionJob.Config(numPartitions = 8, runId = "r1")
+
+    // ground truth: one uninterrupted run
+    val fullDir = Files.createTempDirectory("graft-full").toString
+    val fullSummary = ExtractionJob.runResumable(spark, docs, fullDir, cfg)
+    assert(fullSummary.docs == 50)
+    val fullOut = ExtractionJob.readOutput(spark, fullDir).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+
+    // simulate a run killed after some partitions committed: copy the
+    // data+marks of a subset of pids into a fresh output dir
+    val resumeDir = Files.createTempDirectory("graft-resume").toString
+    Files.createDirectories(Paths.get(s"$resumeDir/data"))
+    val store = new CheckpointStore(s"$fullDir/checkpoint")
+    val preDone = store.rows("r1").take(3)
+    val resumeStore = new CheckpointStore(s"$resumeDir/checkpoint")
+    preDone.foreach { row =>
+      Files.copy(Paths.get(s"$fullDir/data/pid=${row.partition_id}.jsonl"),
+        Paths.get(s"$resumeDir/data/pid=${row.partition_id}.jsonl"))
+      resumeStore.markCompleted(row)
+    }
+
+    val resumeSummary = ExtractionJob.runResumable(spark, docs, resumeDir, cfg)
+    assert(resumeSummary.skippedPartitions == 3, s"skipped=${resumeSummary.skippedPartitions}")
+    assert(resumeSummary.docs == 50) // lineage covers all docs exactly once
+    val resumedOut = ExtractionJob.readOutput(spark, resumeDir).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(resumedOut == fullOut)
+
+    // idempotent re-run: everything skipped, nothing reprocessed
+    val again = ExtractionJob.runResumable(spark, docs, resumeDir, cfg)
+    assert(again.processedPartitions == 0)
+    assert(ExtractionJob.readOutput(spark, resumeDir).count() == 50)
+  }
+
+  test("driver-docs generator: pipeline output matches pure-function oracle") {
+    val docs = DocGen.fromDriverDocs(spark, "/root/testdata/sf0.001")
+    val out = ExtractionJob.extract(spark, docs).collect().map(d => d.doc_id -> d).toMap
+    assert(out.size == 500)
+    val ins = docs.collect()
+    ins.foreach { in =>
+      assert(out(in.doc_id).spans == DocGen.expectedSpans(in), s"doc ${in.doc_id}")
+    }
+    // text span passthrough is byte-identical
+    ins.take(5).foreach { in =>
+      assert(out(in.doc_id).spans.head.text == in.spans.head.text)
+    }
+  }
+}

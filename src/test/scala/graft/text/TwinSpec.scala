@@ -1,0 +1,110 @@
+package graft.text
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Twin-equivalence tests (SURVEY.md §5.2 item 3): the pure Scala form
+  * (used inside the typed OCR stage) and the Catalyst Column form
+  * (used on the SQL path) of every text operator must agree
+  * byte-for-byte on adversarial inputs.
+  */
+class TwinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val pieces = Array(
+    "أ", "إ", "آ", "ة", "ي", "ى", "ء", "ئ", "ؤ", "نظام", "محكمة",
+    "ً", "ٌ", "ّ", "ْ", "ـ", "۔", "؟", "؎", " ", "  ", "\t", "\n",
+    "abc", "123", ".", "عُقُود", "الـكتاب", "", "مادة 12", "1445/11/03"
+  )
+
+  private def randomStrings(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    }
+  }
+
+  test("normalizeBasic: Scala twin == Column twin on 400 adversarial strings") {
+    val inputs = randomStrings(400)
+    val got = inputs.toDF("s")
+      .select(ArabicNormalizer.normalizeBasicCol(col("s")).as("n")).as[String].collect()
+    inputs.zip(got).foreach { case (in, colResult) =>
+      assert(ArabicNormalizer.normalizeBasic(in) == colResult, s"input=${in.map(c => f"U+${c.toInt}%04x").mkString(",")}")
+    }
+  }
+
+  test("normalizeEnhanced: Scala twin == Column twin") {
+    val inputs = randomStrings(400)
+    val got = inputs.toDF("s")
+      .select(ArabicNormalizer.normalizeEnhancedCol(col("s")).as("n")).as[String].collect()
+    inputs.zip(got).foreach { case (in, colResult) =>
+      assert(ArabicNormalizer.normalizeEnhanced(in) == colResult, s"input=$in")
+    }
+  }
+
+  test("normalization idempotence: enhanced always; basic modulo its double-space quirk") {
+    randomStrings(200).foreach { s =>
+      // enhanced re-collapses whitespace after diacritic removal
+      // (smart-structured.py:342) -> idempotent
+      val e = ArabicNormalizer.normalizeEnhanced(s)
+      assert(ArabicNormalizer.normalizeEnhanced(e) == e, s"enhanced not idempotent on '$s'")
+      // basic can leave a double space where a diacritic-only token was
+      // removed (faithful reference quirk, smart.py:196-201): a second
+      // pass may collapse it — idempotent only on diacritic-free input
+      val once = ArabicNormalizer.normalizeBasic(s)
+      val diacriticFree = !s.exists(ArabicNormalizer.DiacriticChars.contains(_))
+      if (diacriticFree)
+        assert(ArabicNormalizer.normalizeBasic(once) == once, s"basic not idempotent on '$s'")
+    }
+  }
+
+  test("analyzer: Scala twin == Column twin (type, confidence, articles, dates)") {
+    val inputs = Seq(
+      "نظام المحكمه وقرار الحكم في القضيه",
+      "عقد اتفاقية شراكه. مادة 1. مادة 2. مادة 3",
+      "مجموعه أحكام قضائية سابقة",
+      "لا شيء قانوني هنا",
+      "plain english text",
+      "حكم حكم حكم نظام نظام نظام", // tie: regulation wins only if strictly greater
+      "بتاريخ 1444/2/7 وايضا 1445هـ",
+      ""
+    )
+    val df = inputs.toDF("text")
+    val analyzed = DocumentAnalyzer.analyzeDf(df.withColumn("doc_id", monotonically_increasing_id()),
+        lower(col("text")), "doc_id")
+      .orderBy("doc_id")
+      .select("document_type", "confidence").as[(String, Double)].collect()
+    val extra = df.select(
+      DocumentAnalyzer.articleCountCol(col("text")).as("a"),
+      DocumentAnalyzer.containsDatesCol(col("text")).as("d")).as[(Int, Boolean)].collect()
+    inputs.zipWithIndex.foreach { case (in, i) =>
+      val want = DocumentAnalyzer.analyze(in)
+      assert(analyzed(i)._1 == want.documentType, s"type for '$in'")
+      assert(math.abs(analyzed(i)._2 - want.confidence) < 1e-12, s"conf for '$in'")
+      assert(extra(i)._1 == want.articleCount, s"articles for '$in'")
+      assert(extra(i)._2 == want.containsDates, s"dates for '$in'")
+    }
+  }
+
+  test("analyzer: reference tie semantics — first category wins, zero -> Unknown") {
+    // 3x court_ruling terms vs 3x regulation terms: regulation is listed
+    // first and reached max first (strict >), court_ruling never exceeds
+    val a = DocumentAnalyzer.analyze("نظام نظام نظام حكم حكم حكم")
+    assert(a.documentType == "regulation")
+    assert(DocumentAnalyzer.analyze("hello world").documentType == "Unknown")
+    assert(DocumentAnalyzer.analyze("حكم").confidence == 0.1)
+    assert(DocumentAnalyzer.analyze("حكم " * 20).confidence == 1.0)
+  }
+
+  test("key patterns: first 5 '.'-parts, stripped, >10 chars, truncated to 100") {
+    val t = "قصير. " + ("ا" * 120) + ". نص متوسط الطول هنا. x. آخر جمله طويله بما يكفي. تجاهل هذا لانه السادس"
+    val want = DocumentAnalyzer.analyze(t).keyPatterns
+    val got = Seq(t).toDF("text")
+      .select(DocumentAnalyzer.keyPatternsCol(col("text")).as("kp")).as[Seq[String]].collect().head
+    assert(got == want)
+    assert(want.forall(_.length <= 100))
+    assert(want.size == 3)
+  }
+}
