@@ -242,6 +242,43 @@ object SparkEntry {
         TS.langIdCol(col("text")).as("lang_pred"),
         TS.fingerprintCol(col("text")).as("fingerprint"))),
 
+    // A8: cross-backend statistics + best/fastest argmax
+    // (ocr_evaluation.py:281-290); deterministic tie-break via
+    // (metric, source) struct ordering
+    "a8_backend_stats" -> ((s, dir) => {
+      val perSource = docs(s, dir).groupBy(col("source"))
+        .agg(round(avg(length(col("text"))), 6).as("conf"),
+          round(sum(col("n_chars")) / 100.0, 6).as("speed"))
+      perSource.agg(
+        round(avg(col("conf")), 6).as("avg_conf"),
+        round(avg(col("speed")), 6).as("avg_speed"),
+        max(struct(col("conf"), col("source"))).getField("source").as("best_source"),
+        max(struct(col("speed"), col("source"))).getField("source").as("fastest_source"))
+    }),
+
+    // T7: filename/basename projection (smart.py:345-346)
+    "t7_basename" -> ((s, dir) => {
+      val path = concat(col("source"), lit("/doc-"), col("doc_id"), lit(".pdf"))
+      docs(s, dir).select(col("doc_id"),
+        regexp_extract(path, "([^/]+)$", 1).as("basename"),
+        regexp_extract(path, "([^/]+)\\.pdf$", 1).as("stem"))
+    }),
+
+    // Multimodal: frame sampling over multi-frame payloads ("video"):
+    // decode -> split frames -> sample every 2nd -> per-frame metadata
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val text = Vocab.Sentences(Vocab.sentenceIdx1(id))
+        val nFrames = (id % 4 + 2).toInt
+        val ref = graft.image.FrameCodec.ref(text, nFrames, id)
+        val frames = graft.image.FrameCodec.split(graft.image.FrameCodec.fetch(ref))
+        val sampled = graft.image.FrameCodec.frameSample(frames, 2)
+        (id, frames.size.toLong, sampled.size.toLong,
+          sampled.head.width.toLong, sampled.head.height.toLong)
+      }.toDF("doc_id", "n_frames", "n_sampled", "width", "height")
+    }),
+
     // Multimodal: media metadata (decode the span images, emit dims)
     "mm_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -401,6 +438,26 @@ object SparkEntry {
           s"CAST(${TS.wsTokenCountSql("text")} AS BIGINT) AS ws_tokens, " +
           s"${TS.qualityScoreSql("text")} AS quality, ${TS.langIdSql("text")} AS lang_pred, " +
           s"${TS.fingerprintSql("text")} AS fingerprint FROM documents"),
+
+      "a8_backend_stats" ->
+        ("WITH per_source AS (SELECT source, round(avg(length(text)), 6) AS conf, " +
+          "round(sum(n_chars) / 100.0, 6) AS speed FROM documents GROUP BY 1) " +
+          "SELECT round(avg(conf), 6) AS avg_conf, round(avg(speed), 6) AS avg_speed, " +
+          "(SELECT source FROM per_source ORDER BY conf DESC, source DESC LIMIT 1) AS best_source, " +
+          "(SELECT source FROM per_source ORDER BY speed DESC, source DESC LIMIT 1) AS fastest_source " +
+          "FROM per_source"),
+
+      "t7_basename" ->
+        ("SELECT doc_id, regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf', '([^/]+)$', 1) AS basename, " +
+          "regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf', '([^/]+)\\.pdf$', 1) AS stem FROM documents"),
+
+      "mm_frame_sample" -> {
+        val dims = Vocab.Sentences.map(t => SynthRenderer.dimensions(t, 0))
+        s"SELECT doc_id, CAST((doc_id % 4 + 2) AS BIGINT) AS n_frames, " +
+          s"CAST((doc_id % 4 + 2 + 1) // 2 AS BIGINT) AS n_sampled, " +
+          s"CAST(${vocabCase(s1, i => dims(i)._1.toString)} AS BIGINT) AS width, " +
+          s"CAST(${vocabCase(s1, i => dims(i)._2.toString)} AS BIGINT) AS height FROM documents"
+      },
 
       "mm_media_meta" ->
         (s"SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS BIGINT) AS offset, " +

@@ -1,0 +1,38 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Table-format seam (SURVEY.md §7.1). The production target is
+  * Iceberg (`BASELINE.json`: "Iceberg table of interleaved text+media
+  * documents"), but no Iceberg runtime jar exists in this offline
+  * sandbox, so all table access goes through this trait:
+  *
+  *   - `ParquetLake`: partitioned parquet with an Iceberg-style layout
+  *     (one directory per table, explicit partition columns) — used by
+  *     tests and the bench here;
+  *   - `IcebergLake` (config-only, no code changes): the same calls
+  *     against a configured catalog — `spark.sql.catalog.lake =
+  *     org.apache.iceberg.spark.SparkCatalog` + `df.writeTo(
+  *     "lake.<table>").append()` / `spark.read.table("lake.<table>")`.
+  *     Swapping it in is a session-config change because nothing else
+  *     in the pipeline touches storage directly.
+  */
+trait LakeFormat extends Serializable {
+  def read(spark: SparkSession, table: String): DataFrame
+  def write(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+            mode: SaveMode = SaveMode.Overwrite): Unit
+}
+
+final class ParquetLake(baseDir: String) extends LakeFormat {
+  private def path(table: String) = s"$baseDir/$table"
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  override def write(df: DataFrame, table: String, partitionBy: Seq[String],
+                     mode: SaveMode): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(table))
+  }
+}

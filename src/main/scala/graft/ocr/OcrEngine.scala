@@ -35,6 +35,21 @@ final class OcrEngine(classifier: GlyphClassifier) extends Serializable {
 
   val Empty: PageResult = PageResult("", Nil, Array.empty, 0, 0, 0)
 
+  /** P3/P4 (SURVEY.md §2.2): drop recognized lines below a confidence
+    * floor (EasyOCR's 0.3 floor, src/ocr/easyocr_backend.py:113-121)
+    * and empty-text lines (Tesseract's valid-word filter,
+    * tesseract_backend.py:138-142), then reassemble the page text.
+    * The flagship smart path uses no floor (minConf = 0).
+    */
+  def recognize(img: GrayImage, minLineConf: Double): PageResult = {
+    val r = recognize(img)
+    if (minLineConf <= 0.0) r
+    else {
+      val kept = r.lines.filter(l => l.confidence >= minLineConf && l.text.nonEmpty)
+      r.copy(text = kept.map(_.text).mkString(" "), lines = kept)
+    }
+  }
+
   /** A clean or dropout-noised glyph is always within MaxNoiseDrops
     * Hamming of its template; lower confidence signals a structurally
     * wrong deskew/segmentation and triggers angle fallback.
