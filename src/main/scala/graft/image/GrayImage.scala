@@ -30,16 +30,54 @@ object GrayImage {
   }
 }
 
-/** Binarized raster: true = ink. Output of Otsu thresholding. */
-final class BinaryImage(val width: Int, val height: Int, val bits: Array[Boolean]) {
-  @inline def apply(x: Int, y: Int): Boolean = bits(y * width + x)
-  @inline def set(x: Int, y: Int, v: Boolean): Unit = bits(y * width + x) = v
-  def inkCount: Int = { var n = 0; var i = 0; while (i < bits.length) { if (bits(i)) n += 1; i += 1 }; n }
+/** Binarized raster: true = ink. Output of Otsu thresholding.
+  *
+  * Bit-packed (64 pixels per long, row-major words): page-scale OCR is
+  * memory-bandwidth-bound at high task parallelism, and the binary
+  * raster is copied once per deskew, so 8x fewer bytes than a
+  * Boolean[] directly lifts the N->4N scaling ceiling.
+  */
+final class BinaryImage(val width: Int, val height: Int, val words: Array[Long]) {
+  val wordsPerRow: Int = (width + 63) >>> 6
+  @inline def apply(x: Int, y: Int): Boolean =
+    ((words(y * wordsPerRow + (x >>> 6)) >>> (x & 63)) & 1L) != 0L
+  @inline def set(x: Int, y: Int, v: Boolean): Unit = {
+    val i = y * wordsPerRow + (x >>> 6)
+    val m = 1L << (x & 63)
+    if (v) words(i) |= m else words(i) &= ~m
+  }
+  def inkCount: Int = {
+    var n = 0; var i = 0
+    while (i < words.length) { n += java.lang.Long.bitCount(words(i)); i += 1 }
+    n
+  }
+  /** true iff any pixel in row y is ink */
+  def rowHasInk(y: Int): Boolean = {
+    var i = y * wordsPerRow
+    val end = i + wordsPerRow
+    while (i < end) { if (words(i) != 0L) return true; i += 1 }
+    false
+  }
+  /** visit every ink pixel of row y (ascending x) */
+  @inline def foreachInkInRow(y: Int)(f: Int => Unit): Unit = {
+    var wi = 0
+    while (wi < wordsPerRow) {
+      var w = words(y * wordsPerRow + wi)
+      val base = wi << 6
+      while (w != 0L) {
+        val tz = java.lang.Long.numberOfTrailingZeros(w)
+        val x = base + tz
+        if (x < width) f(x)
+        w &= w - 1
+      }
+      wi += 1
+    }
+  }
 }
 
 object BinaryImage {
   def blank(width: Int, height: Int): BinaryImage =
-    new BinaryImage(width, height, new Array[Boolean](width * height))
+    new BinaryImage(width, height, new Array[Long](((width + 63) >>> 6) * height))
 }
 
 /** Minimal deterministic image codec: binary PGM (P5). Stands in for

@@ -34,33 +34,33 @@ object Deskew {
     * back down this ranking on the rare narrow-image ambiguity.
     */
   def rankedAngles(bin: BinaryImage): IndexedSeq[Int] = {
-    val n = bin.inkCount
-    if (n == 0) return IndexedSeq(0)
-    val xs = new Array[Int](n)
-    val ys = new Array[Int](n)
-    var k = 0
-    var y = 0
-    while (y < bin.height) {
-      var x = 0
-      while (x < bin.width) {
-        if (bin(x, y)) { xs(k) = x; ys(k) = y; k += 1 }
-        x += 1
-      }
-      y += 1
-    }
+    if (bin.inkCount == 0) return IndexedSeq(0)
     val maxAbsShift = math.abs(shift(3000, bin.width - 1)) + 1
     val rows = new Array[Int](bin.height + 2 * maxAbsShift)
     val shiftX = new Array[Int](bin.width) // reused across angles
+    val wpr = bin.wordsPerRow
     val scored = AngleGridMdeg.map { a =>
       java.util.Arrays.fill(rows, 0)
       // per-column shift lookup: one tan() per angle, not per pixel
       val tanA = Math.tan(a / 1000.0 * Math.PI / 180.0)
       var x = 0
       while (x < bin.width) { shiftX(x) = Math.round(tanA * x).toInt; x += 1 }
-      var i = 0
-      while (i < n) {
-        rows(ys(i) - shiftX(xs(i)) + maxAbsShift) += 1
-        i += 1
+      // iterate the packed raster directly: ~width*height/8 bytes per
+      // angle instead of re-reading a per-pixel coordinate list
+      var y = 0
+      while (y < bin.height) {
+        val base = y + maxAbsShift
+        var wi = 0
+        while (wi < wpr) {
+          var w = bin.words(y * wpr + wi)
+          val xBase = wi << 6
+          while (w != 0L) {
+            rows(base - shiftX(xBase + java.lang.Long.numberOfTrailingZeros(w))) += 1
+            w &= w - 1
+          }
+          wi += 1
+        }
+        y += 1
       }
       var occupied = 0
       var peak = 0L
@@ -89,13 +89,10 @@ object Deskew {
     val shiftX = Array.tabulate(bin.width)(x => shift(angleMdeg, x))
     var y = 0
     while (y < bin.height) {
-      var x = 0
-      while (x < bin.width) {
-        if (bin(x, y)) {
-          val ny = y - shiftX(x) + off
-          if (ny >= 0 && ny < newH) out.set(x, ny, true)
-        }
-        x += 1
+      val yy = y
+      bin.foreachInkInRow(yy) { x =>
+        val ny = yy - shiftX(x) + off
+        if (ny >= 0 && ny < newH) out.set(x, ny, true)
       }
       y += 1
     }

@@ -63,7 +63,7 @@ final class OcrEngine(classifier: GlyphClassifier) extends Serializable {
     // blank/degenerate page guards: a near-empty or unimodal image must
     // not produce phantom glyphs (reference: empty OCR result -> "",
     // smart.py:104-105)
-    if (ink < 8 || ink > bin.bits.length * 2 / 5) return Empty
+    if (ink < 8 || ink > bin.width * bin.height * 2 / 5) return Empty
 
     // Deskew candidates best-first; accept the first angle whose
     // restored raster passes structural validation (bands exactly

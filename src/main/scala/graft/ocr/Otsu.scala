@@ -41,10 +41,17 @@ object Otsu {
   def binarize(img: GrayImage): BinaryImage = {
     val t = threshold(img.histogram)
     val out = BinaryImage.blank(img.width, img.height)
-    var i = 0
-    while (i < img.pixels.length) {
-      out.bits(i) = (img.pixels(i) & 0xff) <= t
-      i += 1
+    var y = 0
+    while (y < img.height) {
+      val rowBase = y * img.width
+      val wordBase = y * out.wordsPerRow
+      var x = 0
+      while (x < img.width) {
+        if ((img.pixels(rowBase + x) & 0xff) <= t)
+          out.words(wordBase + (x >>> 6)) |= (1L << (x & 63))
+        x += 1
+      }
+      y += 1
     }
     out
   }

@@ -42,10 +42,7 @@ object Segmentation {
     val rowHas = new Array[Boolean](bin.height)
     var y = 0
     while (y < bin.height) {
-      var x = 0
-      var has = false
-      while (x < bin.width && !has) { has = bin(x, y); x += 1 }
-      rowHas(y) = has
+      rowHas(y) = bin.rowHasInk(y)
       y += 1
     }
     val bands = mutable.ArrayBuffer.empty[LineBand]
