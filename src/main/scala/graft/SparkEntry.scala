@@ -313,8 +313,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val normVocab = Vocab.Sentences.map(N.normalizeBasic)
-    // glyph count = non-space chars; line count = renderer layout lines
-    val glyphs = Vocab.Sentences.map(_.count(_ != ' '))
+    // glyph count = non-space, non-tatweel chars (tatweel renders as a
+    // connector stroke, never a classified glyph); lines from layout
+    val glyphs = Vocab.Sentences.map(_.count(c => c != ' ' && c != graft.image.SynthFont.Tatweel))
     val lines = Vocab.Sentences.map(sent => SynthRenderer.layout(sent).lines.size)
     // image dims: width depends on the sentence; height on sentence+angle
     def dimCase(sentIdx: String, angIdx: String, which: String): String =

@@ -24,7 +24,8 @@ object Vocab {
     "تنظيم اجراءات التقاضي امام المحاكم الاداريه",
     "سابقه قضائيه في مقاوله انشاء الطرق العامه",
     "اتفاقية تسويه وديه بين الطرفين دون حكم",
-    "فقره ثانيه من المادة الاولى للائحه التنفيذيه"
+    "فقره ثانيه من المادة الاولى للائحه التنفيذيه",
+    "نظام الـعمل الموحد رقم ٧٤ لسنه ١٤٤٥"
   )
 
   val V: Int = Sentences.length

@@ -54,14 +54,24 @@ object SynthFont {
   private val rightJoining = "اآأإؤدذرزوة".toSet
   private val dualJoining = "بتثجحخسشصضطظعغفقكلمنهيئى".toSet
   private val nonJoining = "ء".toSet
-  private val digitsPunct = "0123456789./،()-: ".toSet
+  private val digitsPunct = "0123456789٠١٢٣٤٥٦٧٨٩./،()-: ".toSet
+
+  /** Tatweel (kashida): dual-joining, but rendered as a bare baseline
+    * elongation stroke, NOT a glyph — segmentation consumes it as a
+    * connector run and normalization strips it (smart.py:199), so it
+    * round-trips exactly for in-word usage. (A standalone tatweel
+    * token has no stable round-trip under the reference's basic
+    * normalization double-space quirk; generators never emit one.)
+    */
+  val Tatweel = 'ـ'
 
   /** Full supported charset (space handled by layout, not a glyph). */
   val Charset: Set[Char] =
-    rightJoining ++ dualJoining ++ nonJoining ++ (digitsPunct - ' ')
+    rightJoining ++ dualJoining ++ nonJoining ++ (digitsPunct - ' ') + Tatweel
 
   def joining(c: Char): Joining =
-    if (dualJoining(c)) DualJoin
+    if (c == Tatweel) DualJoin
+    else if (dualJoining(c)) DualJoin
     else if (rightJoining(c)) RightJoin
     else NoJoin
 
@@ -131,10 +141,12 @@ object SynthFont {
     d
   }
 
-  /** Fixed, deterministic enumeration order of all glyphs. */
+  /** Fixed, deterministic enumeration order of all glyphs (tatweel is
+    * deliberately absent — it has no glyph bitmap).
+    */
   val AllGlyphs: IndexedSeq[GlyphId] = {
     val letters = ("اآأإؤدذرزوة" + "بتثجحخسشصضطظعغفقكلمنهيئى" + "ء" +
-      "0123456789./،()-:").toIndexedSeq
+      "0123456789٠١٢٣٤٥٦٧٨٩./،()-:").toIndexedSeq
     letters.flatMap(c => formsOf(c).map(f => GlyphId(c, f)))
   }
 

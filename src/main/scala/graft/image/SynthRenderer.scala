@@ -131,15 +131,22 @@ object SynthRenderer {
         var gi = 0
         while (gi < word.length) {
           val gx = xRight - (gi + 1) * GlyphW - gi * LetterGap // left edge of glyph gi
-          val bm = glyphWithDropout(GlyphId(word.charAt(gi), forms(gi)), noisePpm, rng)
-          var r = 0
-          while (r < GlyphH) {
+          val ch = word.charAt(gi)
+          if (ch == SynthFont.Tatweel) {
+            // kashida: bare baseline elongation across the glyph slot
             var c = 0
-            while (c < GlyphW) {
-              if (bm(r * GlyphW + c)) put(gx + c, y0 + r)
-              c += 1
+            while (c < GlyphW) { put(gx + c, y0 + Baseline); c += 1 }
+          } else {
+            val bm = glyphWithDropout(GlyphId(ch, forms(gi)), noisePpm, rng)
+            var r = 0
+            while (r < GlyphH) {
+              var c = 0
+              while (c < GlyphW) {
+                if (bm(r * GlyphW + c)) put(gx + c, y0 + r)
+                c += 1
+              }
+              r += 1
             }
-            r += 1
           }
           // cursive connector to the NEXT letter (drawn to the left)
           if (forms(gi) == Initial || forms(gi) == Medial) {

@@ -119,6 +119,18 @@ class OcrCoreSpec extends AnyFunSuite {
     }
   }
 
+  test("tatweel + Arabic-Indic digits: kashida consumed as connector, exact after normalization") {
+    val engine = new OcrEngine(GlyphClassifier.default)
+    val t = "نظام الـعمل الموحد رقم ٧٤ لسنه ١٤٤٥"
+    for (angle <- Seq(0, -1750); noise <- Seq(0, 5000)) {
+      val img = SynthRenderer.render(t, angle, noise, 17L)
+      val res = engine.recognize(img)
+      assert(res.text == t.replace("ـ", ""), s"angle=$angle noise=$noise got '${res.text}'")
+      assert(res.formViolations == 0)
+      assert(ArabicNormalizer.normalizeBasic(res.text) == ArabicNormalizer.normalizeBasic(t))
+    }
+  }
+
   test("ocr: blank image yields empty result") {
     val engine = new OcrEngine(GlyphClassifier.default)
     val res = engine.recognize(GrayImage.filled(32, 32, 230))
