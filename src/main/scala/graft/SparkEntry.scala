@@ -242,6 +242,25 @@ object SparkEntry {
         TS.langIdCol(col("text")).as("lang_pred"),
         TS.fingerprintCol(col("text")).as("fingerprint"))),
 
+    // T6+A2: evaluation view — "--- Page N ---" headers and "\n"-joined
+    // full text (tesseract_backend.py:167,190; '.'-chunks as pages)
+    "t6_a2_eval_view" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        array_join(
+          transform(split(col("text"), "\\.", -1),
+            (x, i) => concat(lit("--- Page "), (i + 1).cast("string"), lit(" ---\n"), trim(x))),
+          "\n").as("eval_text"))),
+
+    // J1: backend-keyed result merge as a pivot (ocr_evaluation.py:160-172
+    // analogue): per-user event counts pivoted by type
+    "j1_backend_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
+
     // A8: cross-backend statistics + best/fastest argmax
     // (ocr_evaluation.py:281-290); deterministic tie-break via
     // (metric, source) struct ordering
@@ -439,6 +458,16 @@ object SparkEntry {
           s"CAST(${TS.wsTokenCountSql("text")} AS BIGINT) AS ws_tokens, " +
           s"${TS.qualityScoreSql("text")} AS quality, ${TS.langIdSql("text")} AS lang_pred, " +
           s"${TS.fingerprintSql("text")} AS fingerprint FROM documents"),
+
+      "t6_a2_eval_view" ->
+        ("SELECT doc_id, array_to_string(list_transform(string_split(text, '.'), " +
+          "(x, i) -> '--- Page ' || i || ' ---' || chr(10) || trim(x)), chr(10)) AS eval_text FROM documents"),
+
+      "j1_backend_pivot" ->
+        ("SELECT user_id, " +
+          Seq("click", "error", "purchase", "signup", "view").map(t =>
+            s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS n_$t").mkString(", ") +
+          " FROM events GROUP BY 1"),
 
       "a8_backend_stats" ->
         ("WITH per_source AS (SELECT source, round(avg(length(text)), 6) AS conf, " +

@@ -54,6 +54,26 @@ object ExtractionJob {
       .mapPartitions(new OcrStage(bc, cfg.mediaStore))
   }
 
+  /** S9 (SURVEY.md §2.1): job-level metrics via Dataset.observe — the
+    * Spark-native replacement for the reference's per-file progress
+    * prints (smart.py:287-302). The observation is collected by the
+    * driver after any action on the returned Dataset, with zero extra
+    * passes; durable per-partition lineage still goes through the
+    * checkpoint table (runResumable).
+    */
+  def extractObserved(spark: SparkSession, docs: Dataset[Doc], cfg: Config = Config())
+      : (Dataset[ExtractedDoc], org.apache.spark.sql.Observation) = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation(s"graft-extract-${cfg.runId}")
+    val observed = extract(spark, docs, cfg).observe(obs,
+      count(lit(1)).as("docs"),
+      sum(col("metrics.ocr_spans")).cast("long").as("ocr_spans"),
+      sum(col("metrics.direct_spans")).cast("long").as("direct_spans"),
+      sum(col("metrics.failed_spans")).cast("long").as("failed_spans"),
+      sum(col("metrics.glyphs_classified")).cast("long").as("glyphs_classified"))
+    (observed.as[ExtractedDoc], obs)
+  }
+
   final case class RunSummary(
       runId: String,
       processedPartitions: Int,

@@ -104,6 +104,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(ExtractionJob.readOutput(spark, resumeDir).count() == 50)
   }
 
+  test("observe: job-level metrics collected without an extra pass") {
+    val docs = DocGen.synthetic(spark, nDocs = 30, seed = 3L)
+    val (ds, obs) = ExtractionJob.extractObserved(spark, docs)
+    val collected = ds.collect()
+    val m = obs.get
+    assert(m("docs") == 30L)
+    assert(m("ocr_spans") == collected.map(_.metrics.ocr_spans).sum.toLong)
+    assert(m("failed_spans") == 0L)
+    assert(m("glyphs_classified") == collected.map(_.metrics.glyphs_classified).sum.toLong)
+  }
+
   test("driver-docs generator: pipeline output matches pure-function oracle") {
     val docs = DocGen.fromDriverDocs(spark, "/root/testdata/sf0.001")
     val out = ExtractionJob.extract(spark, docs).collect().map(d => d.doc_id -> d).toMap
