@@ -83,14 +83,18 @@ object SparkEntry {
           col("metrics.lines_segmented").cast("long").as("lines"))
     }),
 
-    // T2: basic Arabic normalization (smart.py:187-203)
+    // T2: basic Arabic normalization (smart.py:187-203) — native
+    // single-pass Catalyst expression (codegen'd; 4x fewer string scans
+    // than the chained regexp/translate form, property-tested equal)
     "t2_normalize_basic" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), N.normalizeBasicCol(augmentedCol).as("norm"))),
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.GraftFunctions.normalizeArabicBasic(augmentedCol).as("norm"))),
 
     // T3: enhanced normalization (smart-structured.py:324-345)
     "t3_normalize_enhanced" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        N.normalizeEnhancedCol(concat(augmentedCol, lit(" "), lit(DiacriticProbe))).as("norm"))),
+        graft.functions.GraftFunctions.normalizeArabicEnhanced(
+          concat(augmentedCol, lit(" "), lit(DiacriticProbe))).as("norm"))),
 
     // P1: page needs-OCR predicate (smart.py:29-77)
     "p1_needs_ocr" -> ((s, dir) => {

@@ -57,7 +57,7 @@ final class OcrStage(
             res.glyphConfidences.foreach { c =>
               hist(math.min(9, math.max(0, (c * 10).toInt))) += 1
             }
-            val cleaned = ArabicNormalizer.normalizeBasic(res.text)
+            val cleaned = ArabicNormalizer.normalizeBasicFast(res.text)
             if (cleaned.isEmpty) failedSpans += 1
             sp.copy(text = cleaned)
           } catch {

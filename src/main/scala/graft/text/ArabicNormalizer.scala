@@ -66,6 +66,80 @@ object ArabicNormalizer {
     t.trim
   }
 
+  // ---- single-pass twins (used by the native Catalyst expressions) ------
+
+  @inline private def isWsAscii(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  @inline def isDiacritic(c: Char): Boolean =
+    (c >= 'ً' && c <= 'ٟ') || c == 'ٰ' || c == 'ـ'
+
+  @inline private def translateChar(c: Char): Char = {
+    val i = TranslateFrom.indexOf(c)
+    if (i >= 0) TranslateTo.charAt(i) else c
+  }
+
+  /** Byte-identical to normalizeBasic, in ONE scan: the two-phase
+    * collapse-then-strip semantics (including the double-space quirk
+    * around diacritic-only tokens) are reproduced by emitting the
+    * inter-token separator unconditionally between tokens and trimming
+    * at the end. Property-tested equal to the regex form.
+    */
+  def normalizeBasicFast(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var inToken = false
+    var seenToken = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWsAscii(c)) {
+        if (inToken) { seenToken = true; inToken = false }
+      } else {
+        if (!inToken) {
+          if (seenToken) sb.append(' ') // separator of the collapsed form
+          inToken = true
+        }
+        val t = translateChar(c)
+        if (!isDiacritic(t)) sb.append(t)
+      }
+      i += 1
+    }
+    // final .strip(): drop leading/trailing spaces left by edge
+    // diacritic-only tokens
+    var a = 0
+    var b = sb.length
+    while (a < b && sb.charAt(a) == ' ') a += 1
+    while (b > a && sb.charAt(b - 1) == ' ') b -= 1
+    sb.substring(a, b)
+  }
+
+  /** Byte-identical to normalizeEnhanced in one scan: the enhanced form
+    * re-collapses whitespace after diacritic removal, so separators are
+    * emitted lazily — only when a token actually contributes output —
+    * and Arabic punctuation folds to '.'.
+    */
+  def normalizeEnhancedFast(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSep = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWsAscii(c)) {
+        if (sb.length > 0) pendingSep = true
+      } else {
+        val t = translateChar(c)
+        if (!isDiacritic(t)) {
+          if (pendingSep) { sb.append(' '); pendingSep = false }
+          sb.append(if (ArabicPunct.indexOf(t) >= 0) '.' else t)
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   private def translateStr(s: String): String = {
     val sb = new StringBuilder(s.length)
     s.foreach { c =>

@@ -50,6 +50,15 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("flagship plan: exactly ONE shuffle (the explicit salted repartition)") {
+    val plan = SparkEntry.queries("ocr_extract")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n${plan.take(1200)}")
+    assert(plan.contains("xxhash64"), "repartition key must be the salted doc_id hash")
+    assert(plan.contains("MapPartitions"), "OCR stage must be a narrow mapPartitions")
+  }
+
   test("whole-stage codegen covers the normalization path") {
     val plan = SparkEntry.queries("t2_normalize_basic")(spark, sf)
       .queryExecution.executedPlan.toString

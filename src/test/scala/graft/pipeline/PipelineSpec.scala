@@ -104,6 +104,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(ExtractionJob.readOutput(spark, resumeDir).count() == 50)
   }
 
+  test("kill-resume: a mid-run failure commits only finished partitions; rerun completes identically") {
+    val docs = DocGen.synthetic(spark, nDocs = 60, seed = 31L)
+    val cfg = ExtractionJob.Config(numPartitions = 8, runId = "kill1")
+    val dir = Files.createTempDirectory("graft-kill").toString
+
+    // Per-span AND per-doc failures are swallowed by design (reference
+    // skip-and-continue semantics), so a genuine task kill is simulated
+    // with a NON-NonFatal throwable (InterruptedException) from the
+    // media store on ~6% of docs: the affected tasks die, the job
+    // aborts, but partitions that finished first keep their rename-
+    // committed data + marks.
+    val poisoned = docs.collect().filter(d => d.doc_id.hashCode % 17 == 0)
+      .flatMap(_.spans.filter(_.kind == "image").map(_.media_ref)).toSet
+    assert(poisoned.nonEmpty)
+    val fatal = new graft.image.MediaStore {
+      def fetch(ref: String): Array[Byte] = {
+        if (poisoned.contains(ref)) throw new InterruptedException("injected task kill")
+        graft.image.SynthMediaStore.fetch(ref)
+      }
+    }
+    val killed = intercept[Exception] {
+      ExtractionJob.runResumable(spark, docs, dir, cfg.copy(mediaStore = fatal))
+    }
+    assert(killed != null)
+    val store = new CheckpointStore(s"$dir/checkpoint")
+    val committed = store.completedPids("kill1")
+    assert(committed.size < 8, "not every partition may commit under the outage")
+
+    // outage over: rerun with the healthy store
+    val summary = ExtractionJob.runResumable(spark, docs, dir, cfg)
+    assert(summary.skippedPartitions == committed.size)
+    assert(summary.docs == 60)
+    val out = ExtractionJob.readOutput(spark, dir).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(out.size == 60)
+    docs.collect().foreach { in =>
+      assert(out(in.doc_id) == DocGen.expectedSpans(in), s"doc ${in.doc_id}")
+    }
+  }
+
   test("observe: job-level metrics collected without an extra pass") {
     val docs = DocGen.synthetic(spark, nDocs = 30, seed = 3L)
     val (ds, obs) = ExtractionJob.extractObserved(spark, docs)

@@ -44,6 +44,47 @@ class TwinSpec extends AnyFunSuite {
     }
   }
 
+  test("single-pass twins: normalize*Fast == regex forms on adversarial strings") {
+    val extra = Seq("", "\f", "\r\n", "ًٌّ", " ً ", "ـً", "؟؟", "aً\fb")
+    (randomStrings(600) ++ extra ++ extra.map(e => e + e + " x " + e)).foreach { s =>
+      assert(ArabicNormalizer.normalizeBasicFast(s) == ArabicNormalizer.normalizeBasic(s),
+        s"basic fast diverges on ${s.map(c => f"U+${c.toInt}%04x").mkString(",")}")
+      assert(ArabicNormalizer.normalizeEnhancedFast(s) == ArabicNormalizer.normalizeEnhanced(s),
+        s"enhanced fast diverges on ${s.map(c => f"U+${c.toInt}%04x").mkString(",")}")
+    }
+    assert(ArabicNormalizer.normalizeBasicFast(null) == "")
+    assert(ArabicNormalizer.normalizeEnhancedFast(null) == "")
+  }
+
+  test("native Catalyst expression == regex twin (codegen path + SQL registration)") {
+    import graft.functions.GraftFunctions
+    val inputs = randomStrings(400)
+    val df = inputs.toDF("s")
+    val gotB = df.select(GraftFunctions.normalizeArabicBasic(col("s")).as("n")).as[String].collect()
+    val gotE = df.select(GraftFunctions.normalizeArabicEnhanced(col("s")).as("n")).as[String].collect()
+    inputs.zip(gotB).foreach { case (in, got) =>
+      assert(got == ArabicNormalizer.normalizeBasic(in),
+        s"native basic diverges on ${in.map(c => f"U+${c.toInt}%04x").mkString(",")}")
+    }
+    inputs.zip(gotE).foreach { case (in, got) =>
+      assert(got == ArabicNormalizer.normalizeEnhanced(in), s"native enhanced diverges on '$in'")
+    }
+    // SQL surface
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("twin_probe")
+    val viaSql = spark.sql("SELECT normalize_arabic_basic(s) FROM twin_probe").as[String].collect()
+    assert(viaSql.toSeq == inputs.map(ArabicNormalizer.normalizeBasic))
+    // and it must stay inside whole-stage codegen over a real scan (a
+    // pure-local relation constant-folds to LocalTableScan, so probe
+    // the parquet-backed path)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftFunctions.normalizeArabicBasic(col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the
+    // simple plan string; the Project hosting the expression must carry one
+    assert(plan.contains("*(1) Project [normalize_arabic_basic"), plan)
+  }
+
   test("normalization idempotence: enhanced always; basic modulo its double-space quirk") {
     randomStrings(200).foreach { s =>
       // enhanced re-collapses whitespace after diacritic removal
