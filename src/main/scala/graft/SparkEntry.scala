@@ -223,6 +223,22 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
 
+    // Dedup: embedding-cosine near-dup pairs (exact windowed block join)
+    "dd_embed_cosine" -> ((s, dir) =>
+      Similarity.embedCosinePairs(embeddings(s, dir), idWindow = 50, threshold = 0.3)),
+
+    // Dedup: embedding-cosine near-dup at scale (LSH bucket blocking) —
+    // rows-only; recall validated in OperatorsSpec with planted dups
+    "dd_embed_cosine_lsh" -> ((s, dir) =>
+      Similarity.embedCosineLshPairs(embeddings(s, dir), planes = 6, threshold = 0.3)),
+
+    // ANN: IVF cell-probe top-k (second scale path; recall in tests)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.annIvfTopK(emb, emb.where(col("vec_id") < 8), k = 3, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rank"))
+    }),
+
     // ANN: brute-force cosine top-k (exactness baseline)
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -447,6 +463,13 @@ object SparkEntry {
           "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard " +
           "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25 " +
           "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8"),
+
+      "dd_embed_cosine" ->
+        ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+          "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+          "round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine " +
+          "FROM t a JOIN t b ON a.vec_id < b.vec_id AND b.vec_id <= a.vec_id + 50) " +
+          "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3"),
 
       "ann_cosine_topk" ->
         ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8), " +

@@ -63,6 +63,128 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Embedding-cosine near-duplicate pairs (exact, windowed): candidate
+    * pairs restricted to an id window, implemented as the same BLOCK
+    * EQUI-JOIN as Dedup.jaccardPairs (a naive range predicate plans as
+    * a nested-loop cross product). This is the oracle-checkable
+    * baseline; `embedCosineLshPairs` is the scale path.
+    */
+  def embedCosinePairs(embeddings: DataFrame, idWindow: Int, threshold: Double): DataFrame = {
+    val t = embeddings.select(col("vec_id"), col("embedding"),
+        normCol(col("embedding")).as("nrm"))
+      .withColumn("blk", floor(col("vec_id") / idWindow))
+    val probe = t.withColumn("probe_blk", explode(array(col("blk"), col("blk") + 1)))
+    val a = probe.as("a"); val b = t.as("b")
+    a.join(b,
+        col("a.probe_blk") === col("b.blk") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          col("b.vec_id") <= col("a.vec_id") + idWindow)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dotCol(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup at scale: candidates share an LSH
+    * bucket (one shuffle keyed on the bucket), verified with the exact
+    * cosine. Same hot-bucket cap rationale as Dedup.MaxBucketSize.
+    */
+  def embedCosineLshPairs(embeddings: DataFrame, planes: Int, threshold: Double,
+                          maxBucketSize: Int = Dedup.MaxBucketSize): DataFrame = {
+    val t = embeddings.select(col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("nrm"),
+      lshBucketCol(col("embedding"), planes).as("bucket"))
+    val cold = t.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .where(col("bucket_n") <= maxBucketSize)
+    val a = cold.as("a"); val b = cold.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dotCol(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  // ---- IVF (inverted-file) ANN: the second scale path ------------------
+
+  /** Squared L2 distance between an embedding column and a constant
+    * centroid (literal array folded sequentially — reproducible).
+    */
+  private def l2SqCol(emb: Column, v: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, array(v.map(lit): _*),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, d) => acc + d)
+
+  // named_struct: plain struct() drops aliases once wrapped in
+  // array_min/array_sort, leaving col1/col2 field names
+  private def cellStructs(emb: Column, centroids: Array[(Int, Array[Double])]) =
+    centroids.map { case (id, v) =>
+      call_function("named_struct", lit("d"), l2SqCol(emb, v), lit("cell"), lit(id))
+    }
+
+  /** Nearest-centroid cell id (argmin via struct array_min: distance
+    * first, cell id as the deterministic tie-break).
+    */
+  def ivfCellCol(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
+    array_min(array(cellStructs(emb, centroids): _*)).getField("cell")
+
+  /** The `nProbe` nearest cells for a query vector. */
+  def ivfProbeCellsCol(emb: Column, centroids: Array[(Int, Array[Double])], nProbe: Int): Column =
+    transform(slice(array_sort(array(cellStructs(emb, centroids): _*)), 1, nProbe),
+      s => s.getField("cell"))
+
+  /** Deterministic IVF centroids: seeds are the k lowest vec_ids,
+    * refined by `iters` Lloyd iterations (element-wise mean per cell,
+    * computed distributed, collected — k×dim doubles). At production
+    * scale centroids are trained on a sample exactly like this; the
+    * assignment pass stays a narrow projection against broadcast
+    * literals either way.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
+    var cents: Array[(Int, Array[Double])] = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+    for (_ <- 0 until iters) {
+      val updated = corpus
+        .select(ivfCellCol(col("embedding"), cents).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
+        .select(col("cell"), transform(col("sm"), s => s.getField("m")).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.map { case (i, v) => (i, updated.getOrElse(i, v)) }
+    }
+    cents
+  }
+
+  /** ANN via IVF: corpus vectors live in exactly one cell (narrow
+    * assignment against broadcast centroid literals — no shuffle);
+    * each query probes its `nProbe` nearest cells; candidates re-score
+    * exactly; per-query top-k. Recall vs brute force validated in
+    * tests. Unlike LSH this gives a recall knob (nProbe) independent
+    * of the corpus partitioning.
+    */
+  def annIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int, nProbe: Int, kmeansIters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, nCells, kmeansIters)
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("c_nrm"),
+      ivfCellCol(col("embedding"), cents).as("cell"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        normCol(col("embedding")).as("q_nrm"),
+        explode(ivfProbeCellsCol(col("embedding"), cents, nProbe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotCol(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** ANN via LSH buckets: candidates = same bucket (multi-probe over
     * the exact bucket only, in this baseline), re-scored exactly,
     * per-query top-k. Recall vs brute force is validated in tests.

@@ -76,6 +76,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall too low: $recall (approx=${approx.size})")
   }
 
+  /** Clustered synthetic embeddings shared by the IVF / embed-dedup tests. */
+  private def clustered(n: Int, dim: Int, nCenters: Int, noise: Float, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    (0 until n).map { i =>
+      val c = centers(i % nCenters)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * noise - noise / 2), i % nCenters)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ivf ANN: high recall of brute-force top-3; probing more cells monotone") {
+    val emb = clustered(320, 32, 8, 0.1f, 11)
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvfTopK(emb, queries, 3, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+    // probing every cell must reproduce brute force exactly
+    val full = Similarity.annIvfTopK(emb, queries, 3, nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "nProbe == nCells must equal brute force")
+  }
+
+  test("embed-cosine near-dup: windowed pairs == independent recompute; LSH recovers planted dups") {
+    val emb = clustered(200, 16, 40, 0.05f, 13)
+    val got = Similarity.embedCosinePairs(emb, idWindow = 40, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // independent recompute on the driver
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      a <- vecs; b <- vecs
+      if a._1 < b._1 && b._1 <= a._1 + 40
+      if BigDecimal(cos(a._2, b._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.9
+    } yield (a._1, b._1)).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty, "fixture must contain same-cluster pairs inside the window")
+    // LSH scale path: same-cluster ids 40 apart (outside any id window)
+    // must still pair up through shared buckets
+    val lsh = Similarity.embedCosineLshPairs(emb, planes = 6, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val far = lsh.filter { case (a, b) => b - a >= 40 }
+    assert(far.nonEmpty, s"LSH path found no far-apart near-dups: ${lsh.size} pairs total")
+  }
+
   test("brute-force ANN: scores match an independent Scala computation") {
     val rnd = new scala.util.Random(3)
     val vecs = (0 until 50).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), 0))
