@@ -107,31 +107,36 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN: the second scale path ------------------
 
-  /** Squared L2 distance between an embedding column and a constant
-    * centroid (literal array folded sequentially — reproducible).
+  /** Centroids as ONE 2-D array literal. Expanding each centroid into
+    * its own expression subtree (k aggregates over dim literals each)
+    * makes the plan O(k*dim) — planning/codegen then dwarfs execution
+    * (40s for k=16, dim=64). A single typedlit keeps the plan O(1).
+    * Cell id == centroid position (ids are dense 0..k-1 by
+    * construction in kmeansCentroids).
     */
-  private def l2SqCol(emb: Column, v: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, array(v.map(lit): _*),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, d) => acc + d)
+  private def centArrayCol(centroids: Array[(Int, Array[Double])]): Column =
+    typedlit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
 
-  // named_struct: plain struct() drops aliases once wrapped in
-  // array_min/array_sort, leaving col1/col2 field names
-  private def cellStructs(emb: Column, centroids: Array[(Int, Array[Double])]) =
-    centroids.map { case (id, v) =>
-      call_function("named_struct", lit("d"), l2SqCol(emb, v), lit("cell"), lit(id))
-    }
-
-  /** Nearest-centroid cell id (argmin via struct array_min: distance
-    * first, cell id as the deterministic tie-break).
+  /** (squared-L2-distance, cell) structs for every centroid, smallest
+    * first under struct ordering — distance first, cell id as the
+    * deterministic tie-break.
     */
+  private def cellStructsCol(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
+    zip_with(
+      transform(centArrayCol(centroids), c =>
+        aggregate(
+          zip_with(emb, c, (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+          lit(0.0), (acc, d) => acc + d)),
+      sequence(lit(0), lit(centroids.length - 1)),
+      (d, i) => call_function("named_struct", lit("d"), d, lit("cell"), i))
+
+  /** Nearest-centroid cell id (argmin via struct array_min). */
   def ivfCellCol(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
-    array_min(array(cellStructs(emb, centroids): _*)).getField("cell")
+    array_min(cellStructsCol(emb, centroids)).getField("cell")
 
   /** The `nProbe` nearest cells for a query vector. */
   def ivfProbeCellsCol(emb: Column, centroids: Array[(Int, Array[Double])], nProbe: Int): Column =
-    transform(slice(array_sort(array(cellStructs(emb, centroids): _*)), 1, nProbe),
+    transform(slice(array_sort(cellStructsCol(emb, centroids)), 1, nProbe),
       s => s.getField("cell"))
 
   /** Deterministic IVF centroids: seeds are the k lowest vec_ids,
@@ -146,9 +151,14 @@ object Similarity {
       .select(col("embedding")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
     for (_ <- 0 until iters) {
-      val updated = corpus
-        .select(ivfCellCol(col("embedding"), cents).as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
+      // assignment in its OWN projection below the Generate: putting
+      // ivfCellCol in the same select as posexplode makes Spark
+      // evaluate it per exploded row — a dim-fold amplification of an
+      // interpreted HOF (measured 14x on 64-dim vectors)
+      val assigned = corpus.select(
+        ivfCellCol(col("embedding"), cents).as("cell"), col("embedding"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
