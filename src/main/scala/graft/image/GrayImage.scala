@@ -4,22 +4,41 @@ package graft.image
   * (cv2.imdecode at scripts/all-pdf-to-json-smart.py:95-96) — our OCR
   * pipeline operates on grayscale only.
   *
-  * Pixels are stored row-major as unsigned bytes; use `apply(x, y)`
-  * for the 0..255 int view. Kept as Array[Byte] (not Int) so a task
-  * holding a batch of page images stays memory-lean at scale.
+  * Pixels are stored row-major as unsigned bytes starting at `offset`
+  * in `pixels`; use `apply(x, y)` for the 0..255 int view. The offset
+  * lets a GrayImage be a zero-copy VIEW over an encoded payload (e.g.
+  * the raster section of a PGM byte array): page-scale OCR at high
+  * task parallelism is memory-bandwidth-bound, so every full-raster
+  * copy removed lifts the N->4N scaling ceiling directly.
   */
-final class GrayImage(val width: Int, val height: Int, val pixels: Array[Byte]) {
-  require(pixels.length == width * height, s"bad raster: ${pixels.length} != $width*$height")
-  @inline def apply(x: Int, y: Int): Int = pixels(y * width + x) & 0xff
-  @inline def set(x: Int, y: Int, v: Int): Unit = pixels(y * width + x) = v.toByte
+final class GrayImage(val width: Int, val height: Int, val pixels: Array[Byte], val offset: Int) {
+  def this(width: Int, height: Int, pixels: Array[Byte]) = this(width, height, pixels, 0)
+  val size: Int = width * height
+  require(offset >= 0 && pixels.length - offset >= size,
+    s"bad raster: ${pixels.length} - $offset < $width*$height")
+  @inline def apply(x: Int, y: Int): Int = pixels(offset + y * width + x) & 0xff
+  @inline def set(x: Int, y: Int, v: Int): Unit = pixels(offset + y * width + x) = v.toByte
 
   /** 256-bucket intensity histogram (input to Otsu). */
-  def histogram: Array[Int] = {
+  def histogram: Array[Int] = histogram(1)
+
+  /** Histogram over every `stride`-th pixel. Page-OCR thresholding
+    * does not need every pixel: on any raster whose ink and background
+    * modes are separated by an empty gap, Otsu's argmax ties across
+    * the gap and resolves to the same threshold from a sample as from
+    * the full scan (both classes just need to be present) — and the
+    * full-raster read it saves is pure memory bandwidth.
+    */
+  def histogram(stride: Int): Array[Int] = {
     val h = new Array[Int](256)
-    var i = 0
-    while (i < pixels.length) { h(pixels(i) & 0xff) += 1; i += 1 }
+    var i = offset
+    val end = offset + size
+    while (i < end) { h(pixels(i) & 0xff) += 1; i += stride }
     h
   }
+
+  /** Exact-size copy of the raster (for equality checks / export). */
+  def copyPixels: Array[Byte] = java.util.Arrays.copyOfRange(pixels, offset, offset + size)
 }
 
 object GrayImage {
@@ -84,19 +103,30 @@ object BinaryImage {
   * the reference's PNG page renders (page.get_pixmap(...).tobytes("png"),
   * smart.py:91-92) without an external imaging dependency; the Spark
   * plumbing (binary payloads decoded inside mapPartitions) is identical.
+  *
+  * decode is ZERO-COPY: the returned GrayImage is a view into the
+  * payload bytes (offset past the header).
   */
 object PgmCodec {
+  def headerBytes(w: Int, h: Int): Array[Byte] =
+    s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+
   def encode(img: GrayImage): Array[Byte] = {
-    val header = s"P5\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
-    val out = new Array[Byte](header.length + img.pixels.length)
+    val header = headerBytes(img.width, img.height)
+    val out = new Array[Byte](header.length + img.size)
     System.arraycopy(header, 0, out, 0, header.length)
-    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    System.arraycopy(img.pixels, img.offset, out, header.length, img.size)
     out
   }
 
-  def decode(bytes: Array[Byte]): GrayImage = {
+  def decode(bytes: Array[Byte]): GrayImage = decode(bytes, 0)
+
+  /** Decode one P5 frame starting at `start`; the result shares
+    * `bytes` (consumed length = img.offset - start + img.size).
+    */
+  def decode(bytes: Array[Byte], start: Int): GrayImage = {
     // header: "P5" <ws> width <ws> height <ws> maxval <single ws> raster
-    var i = 0
+    var i = start
     def skipWs(): Unit = { while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1 }
     def token(): String = {
       skipWs()
@@ -111,8 +141,6 @@ object PgmCodec {
     val maxv = token().toInt
     require(maxv == 255, s"unsupported maxval $maxv")
     i += 1 // exactly one whitespace byte before raster
-    val px = new Array[Byte](w * h)
-    System.arraycopy(bytes, i, px, 0, w * h)
-    new GrayImage(w, h, px)
+    new GrayImage(w, h, bytes, i)
   }
 }

@@ -31,12 +31,13 @@ object ImageOps {
   def inkRatio(img: GrayImage): Double = {
     val t = graft.ocr.Otsu.threshold(img.histogram)
     var ink = 0
-    var i = 0
-    while (i < img.pixels.length) {
+    var i = img.offset
+    val end = img.offset + img.size
+    while (i < end) {
       if ((img.pixels(i) & 0xff) <= t) ink += 1
       i += 1
     }
-    ink.toDouble / img.pixels.length
+    ink.toDouble / img.size
   }
 }
 
@@ -76,12 +77,10 @@ object FrameCodec {
     val frames = Seq.newBuilder[GrayImage]
     var off = 0
     while (off < bytes.length) {
-      // parse one header to find the frame length
-      val img = PgmCodec.decode(java.util.Arrays.copyOfRange(bytes, off, bytes.length))
+      // zero-copy: each frame is a view into the shared payload
+      val img = PgmCodec.decode(bytes, off)
       frames += img
-      // recompute consumed length: header + raster
-      val header = s"P5\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII").length
-      off += header + img.width * img.height
+      off = img.offset + img.size
     }
     frames.result()
   }

@@ -100,13 +100,24 @@ object SynthRenderer {
   }
 
   def render(text: String, angleMdeg: Int, noisePpm: Int, seed: Long): GrayImage = {
+    val (w, h) = dimensions(text, angleMdeg)
+    renderInto(text, angleMdeg, noisePpm, seed, new Array[Byte](w * h), 0)
+  }
+
+  /** Render directly into `buf` at `off` (e.g. the raster section of a
+    * pre-allocated PGM payload) — avoids a full-raster copy on the
+    * fetch path, where memory bandwidth bounds N->4N scaling.
+    */
+  def renderInto(text: String, angleMdeg: Int, noisePpm: Int, seed: Long,
+                 buf: Array[Byte], off: Int): GrayImage = {
     val l = layout(text)
     val (w, h) = dimensions(text, angleMdeg)
     val rng = new Rng(seed * 1000003L + angleMdeg * 7919L + noisePpm)
-    val img = GrayImage.filled(w, h, 0)
+    val img = new GrayImage(w, h, buf, off)
     // background jitter
-    var i = 0
-    while (i < img.pixels.length) {
+    var i = img.offset
+    val end = img.offset + img.size
+    while (i < end) {
       img.pixels(i) = (BgLo + rng.nextInt(BgHi - BgLo + 1)).toByte
       i += 1
     }
@@ -181,21 +192,22 @@ object SynthRenderer {
     if (noisePpm <= 0) return base
     val dropThreshold = math.min(noisePpm.toLong * 50L, 400000L) // <=40% per attempt
     val bm = base.clone()
+    // ink index built ONCE per glyph and edited in place (rebuilding it
+    // per attempt was allocation churn in the hottest render loop)
+    val inkIdx = new Array[Int](bm.length)
+    var nInk = 0
+    var i = 0
+    while (i < bm.length) { if (bm(i)) { inkIdx(nInk) = i; nInk += 1 }; i += 1 }
     var drops = 0
     var attempt = 0
     while (attempt < MaxNoiseDrops) {
-      if (rng.nextInt(1000000) < dropThreshold) {
-        // pick a random ink pixel; drop it if invariants survive
-        val inkIdx = {
-          val idxs = Array.newBuilder[Int]
-          var i = 0
-          while (i < bm.length) { if (bm(i)) idxs += i; i += 1 }
-          idxs.result()
-        }
-        if (inkIdx.nonEmpty) {
-          val pick = inkIdx(rng.nextInt(inkIdx.length))
-          val r = pick / GlyphW; val c = pick % GlyphW
-          if (canDrop(bm, r, c)) { bm(pick) = false; drops += 1 }
+      if (rng.nextInt(1000000) < dropThreshold && nInk > 0) {
+        val at = rng.nextInt(nInk)
+        val pick = inkIdx(at)
+        val r = pick / GlyphW; val c = pick % GlyphW
+        if (canDrop(bm, r, c)) {
+          bm(pick) = false; drops += 1
+          inkIdx(at) = inkIdx(nInk - 1); nInk -= 1
         }
       }
       attempt += 1

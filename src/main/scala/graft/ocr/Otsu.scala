@@ -38,12 +38,18 @@ object Otsu {
     bestT
   }
 
+  /** Pixels sampled for the threshold histogram (statistic only — the
+    * binarization pass itself always reads every pixel).
+    */
+  private val HistSample = 16384
+
   def binarize(img: GrayImage): BinaryImage = {
-    val t = threshold(img.histogram)
+    val stride = math.max(1, img.size / HistSample)
+    val t = threshold(img.histogram(stride))
     val out = BinaryImage.blank(img.width, img.height)
     var y = 0
     while (y < img.height) {
-      val rowBase = y * img.width
+      val rowBase = img.offset + y * img.width
       val wordBase = y * out.wordsPerRow
       var x = 0
       while (x < img.width) {

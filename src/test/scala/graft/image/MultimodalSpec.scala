@@ -14,7 +14,7 @@ class MultimodalSpec extends AnyFunSuite {
     val half = ImageOps.resize(img, img.width / 2, img.height / 2)
     assert(half.width == img.width / 2 && half.height == img.height / 2)
     val same = ImageOps.resize(img, img.width, img.height)
-    assert(same.pixels.toSeq == img.pixels.toSeq) // identity at 1:1
+    assert(same.copyPixels.toSeq == img.copyPixels.toSeq) // identity at 1:1
     assert(ImageOps.inkRatio(img) > 0.01 && ImageOps.inkRatio(img) < 0.5)
   }
 

@@ -50,7 +50,7 @@ class OcrCoreSpec extends AnyFunSuite {
     val img = SynthRenderer.render("نظام", 0, 0, 1L)
     val back = PgmCodec.decode(PgmCodec.encode(img))
     assert(back.width == img.width && back.height == img.height)
-    assert(back.pixels.toSeq == img.pixels.toSeq)
+    assert(back.copyPixels.toSeq == img.copyPixels.toSeq)
   }
 
   test("otsu: threshold separates bimodal fixture intensities") {
