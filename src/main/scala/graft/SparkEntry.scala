@@ -303,6 +303,16 @@ object SparkEntry {
         regexp_extract(path, "([^/]+)\\.pdf$", 1).as("stem"))
     }),
 
+    // Streaming twin: the EXACT aggregation the Structured Streaming
+    // surface runs (watermarked 5-min tumbling windows; EventsStream.
+    // windowedAgg) executed over the same code path in batch mode —
+    // the oracle-checkable face of the readStream query (the stream
+    // itself is pinned equal to this twin in MultimodalSpec)
+    "st_windowed_agg" -> ((s, dir) =>
+      graft.streaming.EventsStream.batchEquivalent(s, s"$dir/events.parquet")
+        .select(unix_timestamp(col("window_start")).cast("long").as("window_start_epoch"),
+          col("event_type"), col("n"), col("total_value"))),
+
     // Multimodal: frame sampling over multi-frame payloads ("video"):
     // decode -> split frames -> sample every 2nd -> per-frame metadata
     "mm_frame_sample" -> ((s, dir) => {
@@ -507,6 +517,10 @@ object SparkEntry {
       "t7_basename" ->
         ("SELECT doc_id, regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf', '([^/]+)$', 1) AS basename, " +
           "regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf', '([^/]+)\\.pdf$', 1) AS stem FROM documents"),
+
+      "st_windowed_agg" ->
+        ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_epoch, " +
+          "event_type, count(*) AS n, round(sum(value), 6) AS total_value FROM events GROUP BY 1, 2"),
 
       "mm_frame_sample" -> {
         val dims = Vocab.Sentences.map(t => SynthRenderer.dimensions(t, 0))
