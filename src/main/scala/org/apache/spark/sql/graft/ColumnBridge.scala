@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test seam: apply a SparkSessionExtensions' injected functions to a
+    * live registry (what BaseSessionStateBuilder does at session build).
+    */
+  def registerExtensionFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
 }

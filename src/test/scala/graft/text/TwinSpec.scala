@@ -85,6 +85,24 @@ class TwinSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [normalize_arabic_basic"), plan)
   }
 
+  test("SparkSessionExtensions: functions injected through the extension mechanism") {
+    // getOrCreate on the suite's shared context would skip extensions,
+    // so drive the exact mechanism session construction uses: apply the
+    // extension class to a SparkSessionExtensions and register into a
+    // live function registry (SparkSession.applyExtensions +
+    // BaseSessionStateBuilder.functionRegistry do precisely this)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftSparkExtensions().apply(ext)
+    org.apache.spark.sql.graft.ColumnBridge.registerExtensionFunctions(
+      ext, spark.sessionState.functionRegistry)
+    val got = spark.sql("SELECT normalize_arabic_basic('أحمد  مُحَمَّد') AS n")
+      .collect().head.getString(0)
+    assert(got == ArabicNormalizer.normalizeBasic("أحمد  مُحَمَّد"))
+    val got2 = spark.sql("SELECT normalize_arabic_enhanced('سؤال؟') AS n")
+      .collect().head.getString(0)
+    assert(got2 == ArabicNormalizer.normalizeEnhanced("سؤال؟"))
+  }
+
   test("normalization idempotence: enhanced always; basic modulo its double-space quirk") {
     randomStrings(200).foreach { s =>
       // enhanced re-collapses whitespace after diacritic removal
