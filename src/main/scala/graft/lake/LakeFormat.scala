@@ -36,3 +36,29 @@ final class ParquetLake(baseDir: String) extends LakeFormat {
       .parquet(path(table))
   }
 }
+
+/** Bucketed catalog tables: the co-located-join path. Two tables
+  * bucketed (and sorted) on the same key with the same bucket count
+  * join with NO Exchange and NO Sort — the shuffle is paid once at
+  * write time and amortized over every subsequent join/aggregation on
+  * that key (at 10^12 docs the repeated-join shuffle IS the cost
+  * center). Iceberg equivalent: `bucket(N, doc_id)` partition
+  * transform + storage-partitioned joins — same config-only swap as
+  * the rest of the seam.
+  */
+object BucketedLake {
+  def write(df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    // repartition on the bucket expression first: ONE file per bucket,
+    // which is what lets the scan expose its sort order and the join
+    // drop the Sort as well as the Exchange (multiple files per bucket
+    // void the sortedness guarantee)
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

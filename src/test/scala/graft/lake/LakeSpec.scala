@@ -29,6 +29,36 @@ class LakeSpec extends AnyFunSuite {
     assert(!scan.contains("PushedFilters: [IsNotNull(shard"), scan.take(800))
   }
 
+  test("bucketed tables join with no Exchange and no Sort (co-located join)") {
+    val left = (0 until 2000).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val right = (0 until 2000 by 2).map(i => (i.toLong, i * 10)).toDF("doc_id", "score")
+    BucketedLake.write(left, "b_docs", "doc_id", nBuckets = 8)
+    BucketedLake.write(right, "b_scores", "doc_id", nBuckets = 8)
+
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // one file per bucket (BucketedLake pre-repartitions), so the scan's
+    // per-bucket sort order is real; reporting it is opt-in since 3.0
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val joined = BucketedLake.read(spark, "b_docs")
+        .join(BucketedLake.read(spark, "b_scores"), "doc_id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      // bucket-pruned: the write-time shuffle+sort is reused, the join
+      // itself is narrow
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(900)}")
+      assert(!plan.contains("+- Sort "), s"bucketed+sorted join must not re-sort:\n${plan.take(900)}")
+      assert(plan.contains("SelectedBucketsCount"), plan.take(900))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_scores")
+    }
+  }
+
   test("round-trip preserves schema and rows") {
     val base = Files.createTempDirectory("graft-lake2").toString
     val lake = new ParquetLake(base)
