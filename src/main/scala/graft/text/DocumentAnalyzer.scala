@@ -98,18 +98,23 @@ object DocumentAnalyzer {
     (typ, conf)
   }
 
-  /** Full analysis projection keyed by `keyCol`: materialize
-    * per-category counts once, then derive type/confidence from the
-    * count columns.
+  /** Full analysis projection keyed by `keyCol`: one native
+    * single-pass count of all 21 terms (CountTermCategories), then
+    * type/confidence derived from the per-category count column.
     */
   def analyzeDf(df: org.apache.spark.sql.DataFrame, lowered: Column, keyCol: String)
       : org.apache.spark.sql.DataFrame = {
-    // materialize the (possibly expensive) lowered expression ONCE; the
-    // 21 term-count expressions reference the column, keeping the plan
-    // tree linear in #terms instead of #terms x |lowered|
+    import org.apache.spark.sql.graft.ColumnBridge
+    // materialize the (possibly expensive) lowered expression ONCE,
+    // then all 21 term counts in ONE allocation-free generated call
+    // (the replace-diff Column twin, categoryCountCol, stays as the
+    // property-tested reference form)
     val base = df.select(col(keyCol), lowered.as("lowered_txt"))
-    val withCounts = base.select(col(keyCol) +: Categories.map { case (cat, terms) =>
-      categoryCountCol(col("lowered_txt"), terms).as(s"cnt_$cat")
+    val tc = ColumnBridge.column(graft.functions.CountTermCategories(
+      ColumnBridge.expression(col("lowered_txt")), Categories.map(_._2)))
+    val withTc = base.select(col(keyCol), tc.as("tc"))
+    val withCounts = withTc.select(col(keyCol) +: Categories.zipWithIndex.map {
+      case ((cat, _), i) => element_at(col("tc"), i + 1).as(s"cnt_$cat")
     }: _*)
     val cntCols = Categories.map { case (cat, _) => cat -> col(s"cnt_$cat") }
     val (typ, conf) = docTypeCols(cntCols)
