@@ -66,12 +66,24 @@ object Dedup {
 
   /** MinHash signature column: `perms` permutations approximated by
     * seeded xxhash64 of each token; signature(i) = min over tokens.
-    * Entirely Catalyst HOFs — codegen'd, no UDF.
+    * Catalyst-HOF reference form — kept as the property-tested twin of
+    * the native expression below (SketchSpec), NOT used in the hot
+    * path: it re-traverses (and re-hashes) the token array once per
+    * permutation in interpreted HOFs.
     */
-  def minhashSignature(tokens: Column, perms: Int): Column =
+  def minhashSignatureCol(tokens: Column, perms: Int): Column =
     array((0 until perms).map { i =>
       array_min(transform(tokens, t => xxhash64(t, lit(i))))
     }: _*)
+
+  /** Native single-pass MinHash signature (hashes each token once,
+    * one int-mix per permutation; codegen'd).
+    */
+  def minhashSignature(tokens: Column, perms: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashSignature(
+      ColumnBridge.expression(tokens), perms))
+  }
 
   /** MinHash-LSH candidate pairs: signatures banded `bands` x
     * `rowsPerBand`; docs sharing any band bucket are candidates,
@@ -110,11 +122,11 @@ object Dedup {
 
   /** 64-bit SimHash from token hashes, as Catalyst expressions: for
     * each bit b, sum +-1 over tokens by that bit of xxhash64(token);
-    * bit set iff the sum is positive. The token hash is computed ONCE
-    * per token (one pass accumulating a 64-wide sum vector), not once
-    * per bit — hashing dominates the cost.
+    * bit set iff the sum is positive. Reference twin of the native
+    * expression (it allocates a 64-wide array per token inside an
+    * interpreted aggregate — SketchSpec pins equality).
     */
-  def simhashCol(tokens: Column): Column = {
+  def simhashRefCol(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
     val bitIdx = sequence(lit(0), lit(63))
     val sums = aggregate(hashes, array_repeat(lit(0), 64),
@@ -131,6 +143,14 @@ object Dedup {
     * only heuristically; quarter blocking is the standard recall/cost
     * trade — verified pairs are filtered by true hamming distance).
     */
+  /** Native single-pass SimHash (hashes each token once, no per-token
+    * allocation; codegen'd).
+    */
+  def simhashCol(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SimHash64(ColumnBridge.expression(tokens)))
+  }
+
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val sh = docs.select(col("doc_id"), simhashCol(tokensCol(col("text"))).as("simhash"))

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native sketch expressions == Catalyst-HOF reference twins,
+  * bit-for-bit, on adversarial token arrays (the banding/blocking
+  * downstream is only correct if the signatures agree exactly).
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tokenArrays(n: Int): Seq[Seq[String]] = {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector.tabulate(50)(i => s"tok$i") ++
+      Vector("نظام", "محكمة", "ّ", "a b", "", "x")
+    (0 until n).map { _ =>
+      (0 until 1 + rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.length)))
+    }
+  }
+
+  test("minhash: native expression == HOF twin on 200 random token arrays") {
+    val df = tokenArrays(200).toDF("toks")
+    val rows = df.select(
+      Dedup.minhashSignature(col("toks"), 32).as("native"),
+      Dedup.minhashSignatureCol(col("toks"), 32).as("ref"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.zipWithIndex.foreach { case ((native, ref), i) =>
+      assert(native == ref, s"signature diverges on row $i")
+    }
+  }
+
+  test("simhash: native expression == HOF twin on 200 random token arrays") {
+    val df = tokenArrays(200).toDF("toks")
+    val rows = df.select(
+      Dedup.simhashCol(col("toks")).as("native"),
+      Dedup.simhashRefCol(col("toks")).as("ref"))
+      .as[(Long, Long)].collect()
+    rows.zipWithIndex.foreach { case ((native, ref), i) =>
+      assert(native == ref, s"simhash diverges on row $i")
+    }
+  }
+
+  test("sketch expressions stay inside whole-stage codegen over a real scan") {
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Dedup.simhashCol(Dedup.tokensCol(col("text"))).as("sh"),
+        Dedup.minhashSignature(Dedup.tokensCol(col("text")), 8).as("mh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(600))
+  }
+}
