@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+object DotKernel {
+  /** Left-fold sum of elementwise products in double — the same
+    * accumulation order as the Column twin
+    * aggregate(zip_with(a, b, (x,y) => x*y), 0.0, +), so results are
+    * bit-identical. Vectors must have equal length (pipeline
+    * invariant: one embedding model, one dimension).
+    */
+  def dotF32(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"dim mismatch: $n vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Native dot product over two array<float> columns: the per-pair
+  * kernel of every similarity operator (brute-force/LSH/IVF ANN,
+  * embedding near-dup). The HOF twin materializes a boxed product
+  * array per pair; this is a primitive loop in codegen.
+  */
+case class DotProductF32(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "dot_f32"
+
+  override def eval(input: InternalRow): Any =
+    DotKernel.dotF32(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${lGen.code}
+        ${rGen.code}
+        double ${ev.value} = graft.functions.DotKernel.dotF32(${lGen.value}, ${rGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -16,10 +16,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors in double. */
-  def dotCol(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two float vectors in double —
+    * Catalyst-HOF reference form (twin of the native expression;
+    * SketchSpec pins bit-identical results).
+    */
+  def dotColRef(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Native dot product (primitive loop in codegen, same fold order). */
+  def dotCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProductF32(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
@@ -139,35 +149,49 @@ object Similarity {
     transform(slice(array_sort(cellStructsCol(emb, centroids)), 1, nProbe),
       s => s.getField("cell"))
 
-  /** Deterministic IVF centroids: seeds are the k lowest vec_ids,
-    * refined by `iters` Lloyd iterations (element-wise mean per cell,
-    * computed distributed, collected — k×dim doubles). At production
-    * scale centroids are trained on a sample exactly like this; the
-    * assignment pass stays a narrow projection against broadcast
-    * literals either way.
+  /** Max sample collected to the driver for centroid training. */
+  val KMeansSampleCap = 16384
+
+  /** Deterministic IVF centroids: Lloyd iterations on a driver-side
+    * sample (the k lowest vec_ids seed; the `KMeansSampleCap` lowest
+    * vec_ids train). Sample-based training is the production design —
+    * at 10^12 vectors nobody Lloyd-iterates the full corpus, and a
+    * distributed iteration over a tiny sample is all scheduler
+    * overhead (measured ~1s/iteration of pure job latency). The
+    * ASSIGNMENT pass — the part that actually scales with corpus
+    * size — stays a narrow distributed projection against the
+    * broadcast centroid literals.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
-    var cents: Array[(Int, Array[Double])] = corpus.orderBy(col("vec_id")).limit(k)
+    val sample: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(KMeansSampleCap)
       .select(col("embedding")).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
+    val dim = cents(0).length
     for (_ <- 0 until iters) {
-      // assignment in its OWN projection below the Generate: putting
-      // ivfCellCol in the same select as posexplode makes Spark
-      // evaluate it per exploded row — a dim-fold amplification of an
-      // interpreted HOF (measured 14x on 64-dim vectors)
-      val assigned = corpus.select(
-        ivfCellCol(col("embedding"), cents).as("cell"), col("embedding"))
-      val updated = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
-        .select(col("cell"), transform(col("sm"), s => s.getField("m")).as("mean"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      cents = cents.map { case (i, v) => (i, updated.getOrElse(i, v)) }
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          val cv = cents(c)
+          while (j < dim) { val t = v(j) - cv(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else { val m = sums(c); var j = 0; while (j < dim) { m(j) /= counts(c); j += 1 }; m }
+      }
     }
-    cents
+    cents.zipWithIndex.map { case (v, i) => (i, v) }
   }
 
   /** ANN via IVF: corpus vectors live in exactly one cell (narrow

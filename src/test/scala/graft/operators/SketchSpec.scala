@@ -43,6 +43,23 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("dot product: native expression == HOF twin bit-for-bit") {
+    val rnd = new scala.util.Random(23)
+    val pairs = (0 until 200).map { _ =>
+      val d = 1 + rnd.nextInt(96)
+      (Seq.fill(d)(rnd.nextFloat() * 4 - 2), Seq.fill(d)(rnd.nextFloat() * 4 - 2))
+    }
+    val rows = pairs.toDF("a", "b").select(
+      Similarity.dotCol(col("a"), col("b")).as("native"),
+      Similarity.dotColRef(col("a"), col("b")).as("ref"))
+      .as[(Double, Double)].collect()
+    rows.zipWithIndex.foreach { case ((native, ref), i) =>
+      // bit-identical, not epsilon: same fold order by construction
+      assert(java.lang.Double.doubleToLongBits(native) == java.lang.Double.doubleToLongBits(ref),
+        s"dot diverges on row $i: $native vs $ref")
+    }
+  }
+
   test("sketch expressions stay inside whole-stage codegen over a real scan") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(Dedup.simhashCol(Dedup.tokensCol(col("text"))).as("sh"),
