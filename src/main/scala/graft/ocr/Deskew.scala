@@ -32,6 +32,14 @@ object Deskew {
     * (sum of squared row counts). Ties resolve toward zero skew.
     * The engine validates the top candidate structurally and falls
     * back down this ranking on the rare narrow-image ambiguity.
+    *
+    * Coarse-to-fine: the full grid is scored at 500 mdeg, then the
+    * 250-mdeg neighbors of the best few coarse angles are scored — a
+    * ±250 mdeg mapping differs by at most ~2 rows at page width, so
+    * the true angle's neighborhood always ranks near the top of the
+    * coarse pass; the engine's structural-validation fallback walks
+    * the FULL ranked list regardless, so exactness never depends on
+    * the pruning (15 ink passes instead of 25).
     */
   def rankedAngles(bin: BinaryImage): IndexedSeq[Int] = {
     if (bin.inkCount == 0) return IndexedSeq(0)
@@ -39,7 +47,8 @@ object Deskew {
     val rows = new Array[Int](bin.height + 2 * maxAbsShift)
     val shiftX = new Array[Int](bin.width) // reused across angles
     val wpr = bin.wordsPerRow
-    val scored = AngleGridMdeg.map { a =>
+
+    def score(a: Int): (Int, Int, Long) = {
       java.util.Arrays.fill(rows, 0)
       // per-column shift lookup: one tan() per angle, not per pixel
       val tanA = Math.tan(a / 1000.0 * Math.PI / 180.0)
@@ -73,7 +82,18 @@ object Deskew {
       }
       (a, occupied, peak)
     }
-    scored.sortBy { case (a, occ, peak) => (occ, -peak, math.abs(a), a) }.map(_._1)
+
+    val coarse = AngleGridMdeg.filter(_ % 500 == 0).map(score)
+    val bestCoarse = coarse.sortBy { case (a, occ, peak) => (occ, -peak, math.abs(a), a) }
+    // refine around the top 2 coarse angles (covers a true angle that
+    // sits between two coarse cells whose scores straddle it)
+    val refineSet = bestCoarse.take(2).flatMap { case (a, _, _) => Seq(a - 250, a + 250) }
+      .filter(a => a >= -3000 && a <= 3000).distinct
+    val scored = coarse ++ refineSet.map(score)
+    val rankedScored = scored.sortBy { case (a, occ, peak) => (occ, -peak, math.abs(a), a) }
+    // unscored fine angles follow as the exactness tail (|angle| order)
+    val seen = rankedScored.map(_._1).toSet
+    rankedScored.map(_._1) ++ AngleGridMdeg.filterNot(seen)
   }
 
   /** Best single angle (convenience; the engine uses rankedAngles). */
