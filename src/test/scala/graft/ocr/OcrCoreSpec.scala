@@ -46,6 +46,45 @@ class OcrCoreSpec extends AnyFunSuite {
     assert(shapeWord("12").toSeq == Seq(Isolated, Isolated))
   }
 
+  test("shaping property: independent Unicode-rule twin + resolver round-trip + violations") {
+    import graft.image.SynthFont
+    val letters = (SynthFont.Charset - SynthFont.Tatweel).toVector.sorted
+    // independent re-derivation of the contextual rules from the
+    // Unicode joining classes (a test-side twin of shapeWord)
+    def expectedForm(w: String, i: Int): Int = {
+      def canJoinNext(c: Char) = SynthFont.joining(c) == SynthFont.DualJoin
+      def canJoinPrev(c: Char) = SynthFont.joining(c) != SynthFont.NoJoin
+      val jp = i > 0 && canJoinNext(w(i - 1)) && canJoinPrev(w(i))
+      val jn = canJoinNext(w(i)) && i + 1 < w.length && canJoinPrev(w(i + 1))
+      if (jp && jn) SynthFont.Medial
+      else if (jp) SynthFont.Final
+      else if (jn) SynthFont.Initial
+      else SynthFont.Isolated
+    }
+    val rnd = new scala.util.Random(17)
+    (0 until 400).foreach { _ =>
+      val w = (0 until 1 + rnd.nextInt(8)).map(_ => letters(rnd.nextInt(letters.size))).mkString
+      val forms = SynthFont.shapeWord(w)
+      w.indices.foreach { i =>
+        assert(forms(i) == expectedForm(w, i), s"form mismatch in '$w' at $i")
+        assert(SynthFont.formsOf(w(i)).contains(forms(i)), s"invalid form for '${w(i)}'")
+      }
+      // resolver round-trip: correctly-formed glyphs -> same text, 0 violations
+      val glyphs = w.zip(forms).map { case (c, f) => SynthFont.GlyphId(c, f) }
+      val r = LetterForms.resolveWord(glyphs)
+      assert(r.text == w && r.formViolations == 0)
+      // corrupt one dual-joining letter's form -> counted as a violation
+      val di = w.indices.find(i => SynthFont.joining(w(i)) == SynthFont.DualJoin)
+      di.foreach { i =>
+        val wrong = SynthFont.formsOf(w(i)).find(_ != forms(i)).get
+        val bad = glyphs.updated(i, SynthFont.GlyphId(w(i), wrong))
+        val rb = LetterForms.resolveWord(bad)
+        assert(rb.text == w, "violations must not corrupt the text")
+        assert(rb.formViolations == 1, s"expected exactly 1 violation in '$w' at $i")
+      }
+    }
+  }
+
   test("pgm: encode/decode roundtrip") {
     val img = SynthRenderer.render("نظام", 0, 0, 1L)
     val back = PgmCodec.decode(PgmCodec.encode(img))
