@@ -303,6 +303,13 @@ object SparkEntry {
         regexp_extract(path, "([^/]+)\\.pdf$", 1).as("stem"))
     }),
 
+    // Structured output format (smart-structured.py:130-260): the full
+    // nested per-document schema, flattened to its oracle-checkable
+    // scalars (the nested shape is pinned in StructuredViewSpec)
+    "structured_doc" -> ((s, dir) =>
+      graft.pipeline.StructuredView.flat(
+        ExtractionJob.extract(s, DocGen.fromDriverDocs(s, dir)).toDF)),
+
     // Streaming twin: the EXACT aggregation the Structured Streaming
     // surface runs (watermarked 5-min tumbling windows; EventsStream.
     // windowedAgg) executed over the same code path in batch mode —
@@ -517,6 +524,25 @@ object SparkEntry {
       "t7_basename" ->
         ("SELECT doc_id, regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf', '([^/]+)$', 1) AS basename, " +
           "regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf', '([^/]+)\\.pdf$', 1) AS stem FROM documents"),
+
+      "structured_doc" -> {
+        val p0 = "substr(text, 1, 120)"
+        val p1 = vocabCase(s1, i => sqlLit(normVocab(i)))
+        val p2 = vocabCase(s2, i => sqlLit(normVocab(i)))
+        val (typ, conf) = DA.docTypeSql("h.lowered")
+        s"WITH e AS (SELECT doc_id, $p0 AS p0, $p1 AS p1, $p2 AS p2 FROM documents), " +
+          "f AS (SELECT doc_id, array_to_string(list_filter([p0, p1, p2], x -> trim(x) <> ''), chr(10) || chr(10)) AS ft, " +
+          "len(list_filter([p0, p1, p2], x -> trim(x) <> '')) AS ne FROM e), " +
+          "g AS (SELECT doc_id, ft, ne, lower(ft) AS lowered FROM f), " +
+          s"h AS (SELECT doc_id, ft, ne, lowered, ${DA.maxCountSql("lowered")} AS m FROM g) " +
+          "SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, CAST(3 AS BIGINT) AS total_pages, " +
+          "CAST(2 AS BIGINT) AS ocr_pages, CAST(1 AS BIGINT) AS direct_pages, " +
+          "CAST(3 - ne AS BIGINT) AS failed_pages, CAST(length(ft) AS BIGINT) AS total_characters, " +
+          s"CAST(${TS.wsTokenCountSql("ft")} AS BIGINT) AS total_words, CAST(ne AS BIGINT) AS non_empty_pages, " +
+          s"$typ AS document_type, round($conf, 6) AS confidence, " +
+          s"CAST(${DA.articleCountSql("ft")} AS BIGINT) AS article_count, " +
+          s"${DA.containsDatesSql("ft")} AS contains_dates FROM h"
+      },
 
       "st_windowed_agg" ->
         ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_epoch, " +
