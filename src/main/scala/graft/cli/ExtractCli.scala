@@ -25,12 +25,15 @@ object ExtractCli {
     val partitions = opts.getOrElse("--partitions", "256").toInt
     val salt = opts.getOrElse("--salt", "42").toLong
 
-    // master/memory come from spark-submit; local default for dev runs
-    val spark = SparkSession.builder()
+    // master/memory come from spark-submit (which sets the spark.master
+    // system property); fall back to local[*] ONLY for bare dev runs so
+    // the builder never overrides a cluster submit
+    val builder = SparkSession.builder()
       .appName(s"graft-extract-$runId")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
