@@ -303,6 +303,16 @@ object SparkEntry {
         regexp_extract(path, "([^/]+)\\.pdf$", 1).as("stem"))
     }),
 
+    // OCR-quality gate: keep documents whose pooled glyph confidence
+    // clears a threshold — the standard training-data filter over OCR'd
+    // corpora (confidence floor semantics of src/config.py:81). Values
+    // depend on the seeded dropout, so this is rows-only; the bounds
+    // (clean == 1.0, noisy >= MinValidConf) are pinned in PipelineSpec.
+    "ocr_conf_filter" -> ((s, dir) =>
+      ExtractionJob.extract(s, DocGen.fromDriverDocs(s, dir))
+        .select(col("doc_id"), round(col("metrics.mean_confidence"), 6).as("mean_conf"))
+        .where(col("mean_conf") >= 0.99)),
+
     // Structured output format (smart-structured.py:130-260): the full
     // nested per-document schema, flattened to its oracle-checkable
     // scalars (the nested shape is pinned in StructuredViewSpec)

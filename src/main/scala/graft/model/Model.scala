@@ -41,6 +41,10 @@ final case class DocMetrics(
     lines_segmented: Int,
     glyphs_classified: Int,
     conf_histogram: Seq[Int],
+    // pooled mean glyph confidence (flat A5 semantics,
+    // tesseract_backend.py:170,192); 0.0 when no glyphs — the
+    // quality-gate column a training pipeline filters on
+    mean_confidence: Double,
     ocr_spans: Int,
     direct_spans: Int,
     failed_spans: Int

@@ -164,6 +164,7 @@ object ExtractionJob {
       StructField("lines_segmented", IntegerType),
       StructField("glyphs_classified", IntegerType),
       StructField("conf_histogram", ArrayType(IntegerType)),
+      StructField("mean_confidence", DoubleType),
       StructField("ocr_spans", IntegerType),
       StructField("direct_spans", IntegerType),
       StructField("failed_spans", IntegerType)))),
@@ -200,7 +201,8 @@ object JsonIo {
     val hist = m.conf_histogram.mkString("[", ",", "]")
     val err = d.error.map(e => s""""${esc(e)}"""").getOrElse("null")
     s"""{"doc_id":"${esc(d.doc_id)}","spans":$spans,"metrics":{"lines_segmented":${m.lines_segmented},""" +
-      s""""glyphs_classified":${m.glyphs_classified},"conf_histogram":$hist,"ocr_spans":${m.ocr_spans},""" +
+      s""""glyphs_classified":${m.glyphs_classified},"conf_histogram":$hist,""" +
+      s""""mean_confidence":${m.mean_confidence},"ocr_spans":${m.ocr_spans},""" +
       s""""direct_spans":${m.direct_spans},"failed_spans":${m.failed_spans}},"error":$err}"""
   }
 }

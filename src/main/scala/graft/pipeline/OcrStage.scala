@@ -45,6 +45,7 @@ final class OcrStage(
       var ocrSpans = 0
       var directSpans = 0
       var failedSpans = 0
+      var confSum = 0.0
       val hist = new Array[Int](10)
       val outSpans = doc.spans.sortBy(_.offset).map { sp =>
         if (sp.kind == "image") {
@@ -55,6 +56,7 @@ final class OcrStage(
             lines += res.linesSegmented
             glyphs += res.glyphsClassified
             res.glyphConfidences.foreach { c =>
+              confSum += c
               hist(math.min(9, math.max(0, (c * 10).toInt))) += 1
             }
             val cleaned = ArabicNormalizer.normalizeBasicFast(res.text)
@@ -72,14 +74,15 @@ final class OcrStage(
           sp
         }
       }
+      val meanConf = if (glyphs == 0) 0.0 else confSum / glyphs
       ExtractedDoc(doc.doc_id, outSpans,
-        DocMetrics(lines, glyphs, hist.toSeq, ocrSpans, directSpans, failedSpans), None)
+        DocMetrics(lines, glyphs, hist.toSeq, meanConf, ocrSpans, directSpans, failedSpans), None)
     } catch {
       case scala.util.control.NonFatal(e) =>
         // doc-level failure: nullable error column replaces the
         // reference's optional "error" key (SURVEY.md §1.4)
         ExtractedDoc(doc.doc_id, doc.spans,
-          DocMetrics(0, 0, Seq.fill(10)(0), 0, 0, doc.spans.size), Some(e.toString))
+          DocMetrics(0, 0, Seq.fill(10)(0), 0.0, 0, 0, doc.spans.size), Some(e.toString))
     }
   }
 }

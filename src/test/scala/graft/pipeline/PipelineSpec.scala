@@ -41,6 +41,19 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.metrics.failed_spans == 0)
       assert(got.metrics.ocr_spans == in.spans.count(_.kind == "image"))
       assert(got.metrics.direct_spans == in.spans.count(_.kind == "text"))
+      // quality-gate column bounds: every glyph is within MaxNoiseDrops
+      // Hamming of its template, so the pooled mean is in
+      // [MinValidConf, 1]; noise-free docs recognize perfectly
+      if (got.metrics.glyphs_classified > 0) {
+        val minValid = (graft.image.SynthFont.GlyphArea - graft.image.SynthFont.MaxNoiseDrops)
+          .toDouble / graft.image.SynthFont.GlyphArea
+        assert(got.metrics.mean_confidence >= minValid && got.metrics.mean_confidence <= 1.0)
+        val allClean = in.spans.filter(_.kind == "image")
+          .forall(sp => graft.image.SynthMediaStore.parse(sp.media_ref).noisePpm == 0)
+        if (allClean) assert(got.metrics.mean_confidence == 1.0)
+      } else {
+        assert(got.metrics.mean_confidence == 0.0)
+      }
     }
   }
 
