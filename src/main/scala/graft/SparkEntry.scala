@@ -303,6 +303,24 @@ object SparkEntry {
         regexp_extract(path, "([^/]+)\\.pdf$", 1).as("stem"))
     }),
 
+    // O1 line-level results: the reference's `[bbox, (text, conf)]` line
+    // shape (paddleocr_backend.py:63) surfaced as rows — raw recognized
+    // line text per image span, exactly matching the rendered layout
+    "ocr_lines" -> ((s, dir) => {
+      import s.implicits._
+      DocGen.fromDriverDocs(s, dir).mapPartitions { it =>
+        val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
+        it.flatMap { d =>
+          d.spans.filter(_.kind == "image").flatMap { sp =>
+            val img = graft.image.PgmCodec.decode(graft.image.SynthMediaStore.fetch(sp.media_ref))
+            engine.recognize(img).lines.zipWithIndex.map { case (l, j) =>
+              (d.doc_id, sp.offset.toLong, j.toLong, l.text)
+            }
+          }
+        }
+      }.toDF("doc_id", "offset", "line_idx", "line_text")
+    }),
+
     // OCR-quality gate: keep documents whose pooled glyph confidence
     // clears a threshold — the standard training-data filter over OCR'd
     // corpora (confidence floor semantics of src/config.py:81). Values
@@ -534,6 +552,18 @@ object SparkEntry {
       "t7_basename" ->
         ("SELECT doc_id, regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf', '([^/]+)$', 1) AS basename, " +
           "regexp_extract(source || '/doc-' || CAST(doc_id AS VARCHAR) || '.pdf', '([^/]+)\\.pdf$', 1) AS stem FROM documents"),
+
+      "ocr_lines" -> {
+        // raw recognized text: kashida (tatweel) renders as a baseline
+        // connector stroke and is consumed by segmentation, never
+        // classified — so it is absent from the line text even BEFORE
+        // normalization strips it
+        def rawLine(idx: String) =
+          vocabCase(idx, i => sqlLit(Vocab.Sentences(i).replace("ـ", "")))
+        s"SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS BIGINT) AS offset, " +
+          s"CAST(0 AS BIGINT) AS line_idx, ${rawLine(s1)} AS line_text FROM documents " +
+          s"UNION ALL SELECT 'doc-' || CAST(doc_id AS VARCHAR), 2, 0, ${rawLine(s2)} FROM documents"
+      },
 
       "structured_doc" -> {
         val p0 = "substr(text, 1, 120)"
