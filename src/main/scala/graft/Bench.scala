@@ -69,17 +69,25 @@ object Bench {
         time(force(graft.pipeline.ExtractionJob.extract(s, docs,
           graft.pipeline.ExtractionJob.Config(numPartitions = parts)).toDF))
       }
-      val runs = levels.map { n =>
+      // 8 task waves per core: amortizes image-heavy-doc stragglers.
+      // JIT dominates first executions (3x): warm twice in round 0
+      // (JIT state persists across sessions in one JVM). Measurement
+      // rounds INTERLEAVE the two levels — consecutive all-N8 then
+      // all-N32 runs let ambient host noise hit one level only, which
+      // is exactly the asymmetry best-of-3 cannot remove (observed
+      // single-run efficiency range 0.54-0.80 on this sandbox).
+      val best = scala.collection.mutable.Map.empty[Int, Double]
+      for (round <- 0 until 3; n <- levels) {
         val s = session(n)
-        // 8 task waves per core: amortizes image-heavy-doc stragglers.
-        // JIT dominates first executions (3x), so: warm twice, measure
-        // three times, take the best (suppresses JIT + sandbox noise).
-        extractRun(s, scaleDocs / 8, 8 * n)
-        extractRun(s, scaleDocs / 8, 8 * n)
-        val sec = Seq.fill(3)(extractRun(s, scaleDocs, 8 * n)).min
+        if (round == 0) {
+          extractRun(s, scaleDocs / 8, 8 * n)
+          extractRun(s, scaleDocs / 8, 8 * n)
+        }
+        val sec = extractRun(s, scaleDocs, 8 * n)
+        best(n) = math.min(best.getOrElse(n, Double.MaxValue), sec)
         s.stop()
-        (n, scaleDocs / sec, sec)
       }
+      val runs = levels.map(n => (n, scaleDocs / best(n), best(n)))
       val eff = runs(1)._2 / (4.0 * runs(0)._2)
       // the north metric (BASELINE.json): OCR'd documents/sec, surfaced
       // top-level next to the per-query seconds
