@@ -59,6 +59,7 @@ object Bench {
     // noise relative to per-doc OCR work (same input at both levels)
     val scaling = if (doScaling) {
       val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "24000").toInt
+      val waves = sys.env.getOrElse("SPARK_GRAFT_WAVES", "8").toInt
       val levels = Seq(8, 32)
       def extractRun(s: SparkSession, nDocs: Int, parts: Int): Double = {
         // page-like docs: ~10 sentences per scanned page, so measured
@@ -80,10 +81,10 @@ object Bench {
       for (round <- 0 until 3; n <- levels) {
         val s = session(n)
         if (round == 0) {
-          extractRun(s, scaleDocs / 8, 8 * n)
-          extractRun(s, scaleDocs / 8, 8 * n)
+          extractRun(s, scaleDocs / 8, waves * n)
+          extractRun(s, scaleDocs / 8, waves * n)
         }
-        val sec = extractRun(s, scaleDocs, 8 * n)
+        val sec = extractRun(s, scaleDocs, waves * n)
         best(n) = math.min(best.getOrElse(n, Double.MaxValue), sec)
         s.stop()
       }
