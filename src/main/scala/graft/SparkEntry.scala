@@ -571,8 +571,8 @@ object SparkEntry {
         val p2 = vocabCase(s2, i => sqlLit(normVocab(i)))
         val (typ, conf) = DA.docTypeSql("h.lowered")
         s"WITH e AS (SELECT doc_id, $p0 AS p0, $p1 AS p1, $p2 AS p2 FROM documents), " +
-          "f AS (SELECT doc_id, array_to_string(list_filter([p0, p1, p2], x -> trim(x) <> ''), chr(10) || chr(10)) AS ft, " +
-          "len(list_filter([p0, p1, p2], x -> trim(x) <> '')) AS ne FROM e), " +
+          "f AS (SELECT doc_id, array_to_string(list_filter([p0, p1, p2], x -> regexp_matches(x, '\\S')), chr(10) || chr(10)) AS ft, " +
+          "len(list_filter([p0, p1, p2], x -> regexp_matches(x, '\\S'))) AS ne FROM e), " +
           "g AS (SELECT doc_id, ft, ne, lower(ft) AS lowered FROM f), " +
           s"h AS (SELECT doc_id, ft, ne, lowered, ${DA.maxCountSql("lowered")} AS m FROM g) " +
           "SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, CAST(3 AS BIGINT) AS total_pages, " +

@@ -1,9 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -31,28 +29,21 @@ object DotKernel {
   * kernel of every similarity operator (brute-force/LSH/IVF ANN,
   * embedding near-dup). The HOF twin materializes a boxed product
   * array per pair; this is a primitive loop in codegen.
+  *
+  * Null propagates like the HOF twin (null vector -> null score, so a
+  * `score >= t` filter drops the row instead of the task dying); a
+  * DIMENSION MISMATCH still fails fast — mixed-dimension embeddings
+  * are corrupt input, and the twin's silent null would mask that.
   */
 case class DotProductF32(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
   override def prettyName: String = "dot_f32"
 
-  override def eval(input: InternalRow): Any =
-    DotKernel.dotF32(
-      left.eval(input).asInstanceOf[ArrayData],
-      right.eval(input).asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotKernel.dotF32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGen = left.genCode(ctx)
-    val rGen = right.genCode(ctx)
-    ev.copy(
-      code = code"""
-        ${lGen.code}
-        ${rGen.code}
-        double ${ev.value} = graft.functions.DotKernel.dotF32(${lGen.value}, ${rGen.value});
-      """,
-      isNull = FalseLiteral)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotKernel.dotF32($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -1,9 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -32,7 +30,7 @@ object SketchKernels {
   def minhash(tokens: ArrayData, perms: Int): ArrayData = {
     val sig = new Array[Long](perms)
     java.util.Arrays.fill(sig, Long.MaxValue)
-    val n = if (tokens == null) 0 else tokens.numElements()
+    val n = tokens.numElements()
     var ti = 0
     while (ti < n) {
       val base = tokenHash(tokens.getUTF8String(ti))
@@ -51,7 +49,7 @@ object SketchKernels {
 
   def simhash(tokens: ArrayData): Long = {
     val sums = new Array[Int](64)
-    val n = if (tokens == null) 0 else tokens.numElements()
+    val n = tokens.numElements()
     var ti = 0
     while (ti < n) {
       val h = tokenHash(tokens.getUTF8String(ti))
@@ -74,23 +72,16 @@ object SketchKernels {
   */
 case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "minhash_signature"
 
-  override def eval(input: InternalRow): Any =
-    SketchKernels.minhash(child.eval(input).asInstanceOf[ArrayData], perms)
+  // null tokens -> null signature (like the HOF twin): a non-null
+  // sentinel would send every null-text doc into the SAME bucket of
+  // every band, manufacturing a hot bucket of spurious candidates
+  override protected def nullSafeEval(tokens: Any): Any =
+    SketchKernels.minhash(tokens.asInstanceOf[ArrayData], perms)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val childGen = child.genCode(ctx)
-    ev.copy(
-      code = code"""
-        ${childGen.code}
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-          graft.functions.SketchKernels.minhash(
-            ${childGen.isNull} ? null : ${childGen.value}, $perms);
-      """,
-      isNull = FalseLiteral)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchKernels.minhash($t, $perms)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -99,22 +90,15 @@ case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpressi
 /** 64-bit SimHash over an array<string> of tokens. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
   override def prettyName: String = "simhash64"
 
-  override def eval(input: InternalRow): Any =
-    SketchKernels.simhash(child.eval(input).asInstanceOf[ArrayData])
+  // null -> null (HOF-twin parity): the 0L sentinel would pair every
+  // null-text doc at hamming distance 0
+  override protected def nullSafeEval(tokens: Any): Any =
+    SketchKernels.simhash(tokens.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val childGen = child.genCode(ctx)
-    ev.copy(
-      code = code"""
-        ${childGen.code}
-        long ${ev.value} = graft.functions.SketchKernels.simhash(
-          ${childGen.isNull} ? null : ${childGen.value});
-      """,
-      isNull = FalseLiteral)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchKernels.simhash($t)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -43,8 +43,16 @@ object Otsu {
     */
   private val HistSample = 16384
 
+  @annotation.tailrec
+  private def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+
   def binarize(img: GrayImage): BinaryImage = {
-    val stride = math.max(1, img.size / HistSample)
+    // stride COPRIME with the row width: an aligned stride samples a
+    // fixed column-residue class, which on grid-regular glyph layouts
+    // can systematically miss the ink class; a coprime stride sweeps
+    // every column phase
+    var stride = math.max(1, img.size / HistSample)
+    while (stride > 1 && gcd(stride, img.width) != 1) stride -= 1
     val t = threshold(img.histogram(stride))
     val out = BinaryImage.blank(img.width, img.height)
     var y = 0

@@ -32,17 +32,28 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object StructuredView {
 
+  /** Python `page_text.strip()` truthiness == contains a non-whitespace
+    * char. Spark trim() strips only ASCII spaces, so a "\t"-only direct
+    * span would wrongly count as content under trim-based emptiness.
+    */
+  private def hasContent(t: Column): Column = t.rlike("\\S")
+
   private def cleanedNonEmpty(spans: Column): Column =
-    filter(transform(spans, sp => sp.getField("text")), t => length(trim(t)) =!= 0)
+    filter(transform(spans, sp => sp.getField("text")), t => hasContent(t))
 
   /** Build the nested structured document from ExtractionJob output
     * (doc_id, spans sorted by offset, metrics).
     */
   def build(extracted: DataFrame): DataFrame = {
     // reference page loop: pages in order, cleaned text per page,
-    // full_text joins the non-empty ones with \n\n (:243-244)
+    // full_text joins the non-empty ones with \n\n (:243-244).
+    // Materialize the non-empty page texts ONCE — full_text, the two
+    // failed_pages uses and non_empty_pages all derive from it
     val withFt = extracted.select(col("doc_id"), col("spans"), col("metrics"),
-      array_join(cleanedNonEmpty(col("spans")), "\n\n").as("full_text"))
+      cleanedNonEmpty(col("spans")).as("ne_texts"))
+      .select(col("doc_id"), col("spans"), col("metrics"),
+        array_join(col("ne_texts"), "\n\n").as("full_text"),
+        size(col("ne_texts")).as("ne_count"))
     val withLower = withFt.select(col("*"), lower(col("full_text")).as("lowered_txt"))
     // all 21 term counts in one native single-pass call (materialized
     // in its own projection so the 10 downstream references stay cheap
@@ -71,8 +82,8 @@ object StructuredView {
         txt.as("cleaned_text"),
         length(txt).as("character_count"),
         TS.wsTokenCountCol(txt).as("word_count"),
-        (length(trim(txt)) =!= 0).as("has_content"),
-        (length(trim(txt)) =!= 0).as("processing_success"))
+        hasContent(txt).as("has_content"),
+        hasContent(txt).as("processing_success"))
     })
 
     val allTerms = DA.Categories.flatMap(_._2)
@@ -99,10 +110,10 @@ object StructuredView {
         // reference definition (:236-238): a failed page is any page
         // whose cleaned text is empty — distinct from the pipeline
         // metric failed_spans (OCR errors only)
-        (size(col("spans")) - size(cleanedNonEmpty(col("spans")))).as("failed_pages"),
+        (size(col("spans")) - col("ne_count")).as("failed_pages"),
         concat(col("metrics.direct_spans"), lit(" direct, "),
           col("metrics.ocr_spans"), lit(" OCR, "),
-          size(col("spans")) - size(cleanedNonEmpty(col("spans"))), lit(" failed"))
+          size(col("spans")) - col("ne_count"), lit(" failed"))
           .as("processing_summary"))
         .as("processing_info"),
       struct(
@@ -111,7 +122,7 @@ object StructuredView {
         struct(
           length(col("full_text")).as("total_characters"),
           TS.wsTokenCountCol(col("full_text")).as("total_words"),
-          size(cleanedNonEmpty(col("spans"))).as("non_empty_pages"),
+          col("ne_count").as("non_empty_pages"),
           lit("Arabic").as("language_detected")).as("summary"),
         analysis.as("document_analysis")).as("content"))
   }

@@ -48,12 +48,27 @@ object ArabicNormalizer {
   private def collapseWs(s: String): String =
     wsPattern.split(s).filter(_.nonEmpty).mkString(" ")
 
+  /** Python str.strip() at this pipeline point only ever removes
+    * SPACES: split()-collapse has already consumed every edge
+    * whitespace char, and non-whitespace control chars (e.g. U+0001)
+    * are NOT stripped by Python. Java's String.trim (strips all chars
+    * <= U+0020, control chars included) would diverge — so edge
+    * stripping is space-only, matching Spark/DuckDB trim() too.
+    */
+  private def stripSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
   def normalizeBasic(s: String): String = {
     if (s == null || s.isEmpty) return ""
     var t = collapseWs(s)
     t = translateStr(t)
     t = diacriticsPattern.matcher(t).replaceAll("")
-    t.trim
+    stripSpaces(t)
   }
 
   def normalizeEnhanced(s: String): String = {
@@ -63,7 +78,7 @@ object ArabicNormalizer {
     t = diacriticsPattern.matcher(t).replaceAll("")
     t = wsPattern.matcher(t).replaceAll(" ")
     t = punctPattern.matcher(t).replaceAll(".")
-    t.trim
+    stripSpaces(t)
   }
 
   // ---- single-pass twins (used by the native Catalyst expressions) ------
@@ -105,8 +120,9 @@ object ArabicNormalizer {
       }
       i += 1
     }
-    // final .strip(): drop leading/trailing spaces left by edge
-    // diacritic-only tokens
+    // final strip: drop leading/trailing SPACES left by edge
+    // diacritic-only tokens (space-only, Python-faithful — see
+    // stripSpaces)
     var a = 0
     var b = sb.length
     while (a < b && sb.charAt(a) == ' ') a += 1
@@ -137,6 +153,9 @@ object ArabicNormalizer {
       }
       i += 1
     }
+    // no edge strip needed: separators are flushed lazily (never
+    // trailing) and suppressed while empty (never leading); edge
+    // control chars are kept, as Python strip() keeps them
     sb.toString
   }
 

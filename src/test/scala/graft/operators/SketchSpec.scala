@@ -43,6 +43,19 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("null propagation: null tokens/vectors -> null sketch/score (twin parity)") {
+    val df = Seq[Option[Seq[String]]](Some(Seq("a", "b")), None).toDF("toks")
+    val rows = df.select(
+      Dedup.minhashSignature(col("toks"), 8).isNull.as("mh_null"),
+      Dedup.simhashCol(col("toks")).isNull.as("sh_null")).as[(Boolean, Boolean)].collect()
+    assert(rows.toSeq == Seq((false, false), (true, true)),
+      "null token arrays must yield null sketches, never a shared sentinel bucket")
+    val vecs = Seq[(Option[Seq[Float]], Seq[Float])](
+      (Some(Seq(1f, 2f)), Seq(3f, 4f)), (None, Seq(3f, 4f))).toDF("a", "b")
+    val dots = vecs.select(Similarity.dotCol(col("a"), col("b")).isNull).as[Boolean].collect()
+    assert(dots.toSeq == Seq(false, true), "null vector must yield null dot, not a crash")
+  }
+
   test("dot product: native expression == HOF twin bit-for-bit") {
     val rnd = new scala.util.Random(23)
     val pairs = (0 until 200).map { _ =>

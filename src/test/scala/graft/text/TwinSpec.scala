@@ -45,7 +45,9 @@ class TwinSpec extends AnyFunSuite {
   }
 
   test("single-pass twins: normalize*Fast == regex forms on adversarial strings") {
-    val extra = Seq("", "\f", "\r\n", "ًٌّ", " ً ", "ـً", "؟؟", "aً\fb")
+    val extra = Seq("", "\f", "\r\n", "ًٌّ", " ً ", "ـً", "؟؟", "aً\fb",
+      // control chars are not \s but String.trim strips them at edges
+      "\u0001abc", "abc\u0007", " \u0001a ", "a\u0002b", "\u0001\u0001")
     (randomStrings(600) ++ extra ++ extra.map(e => e + e + " x " + e)).foreach { s =>
       assert(ArabicNormalizer.normalizeBasicFast(s) == ArabicNormalizer.normalizeBasic(s),
         s"basic fast diverges on ${s.map(c => f"U+${c.toInt}%04x").mkString(",")}")
