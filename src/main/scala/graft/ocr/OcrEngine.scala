@@ -30,10 +30,15 @@ final class OcrEngine(classifier: GlyphClassifier) extends Serializable {
       glyphConfidences: Array[Double],
       linesSegmented: Int,
       glyphsClassified: Int,
-      formViolations: Int
+      formViolations: Int,
+      // geometry inconsistent with the font (band height != GlyphH or
+      // glyph run width != GlyphW) — a wrong-deskew signal a high
+      // per-glyph confidence alone cannot rule out (a merged run's
+      // left GlyphW columns can still match a template exactly)
+      structureViolations: Int
   )
 
-  val Empty: PageResult = PageResult("", Nil, Array.empty, 0, 0, 0)
+  val Empty: PageResult = PageResult("", Nil, Array.empty, 0, 0, 0, 0)
 
   /** P3/P4 (SURVEY.md §2.2): drop recognized lines below a confidence
     * floor (EasyOCR's 0.3 floor, src/ocr/easyocr_backend.py:113-121)
@@ -85,7 +90,8 @@ final class OcrEngine(classifier: GlyphClassifier) extends Serializable {
   }
 
   private def isStructurallyValid(r: PageResult): Boolean =
-    r.glyphsClassified > 0 && r.glyphConfidences.forall(_ >= MinValidConf)
+    r.glyphsClassified > 0 && r.structureViolations == 0 &&
+      r.glyphConfidences.forall(_ >= MinValidConf)
 
   private def recognizeAt(bin: graft.image.BinaryImage, angle: Int): PageResult = {
     val straight = Deskew.unshear(bin, angle)
@@ -93,6 +99,18 @@ final class OcrEngine(classifier: GlyphClassifier) extends Serializable {
     if (bands.isEmpty) return Empty
 
     val segLines = bands.map(b => Segmentation.segmentLine(straight, b))
+
+    // font-geometry validation: every correctly-deskewed band is
+    // exactly GlyphH rows tall and every glyph run exactly GlyphW
+    // columns wide (the renderer guarantees both; noise dropout
+    // preserves row/column coverage)
+    var structViolations = 0
+    segLines.foreach { sl =>
+      if (sl.band.height != SynthFont.GlyphH) structViolations += 1
+      sl.words.foreach(_.glyphs.foreach { g =>
+        if (g.width != SynthFont.GlyphW) structViolations += 1
+      })
+    }
 
     // batched inference: collect every glyph on the page, one model call
     val allGlyphs = segLines.flatMap(_.words.flatMap(_.glyphs.map(_.packed))).toArray
@@ -128,19 +146,22 @@ final class OcrEngine(classifier: GlyphClassifier) extends Serializable {
       glyphConfidences = confs,
       linesSegmented = outLines.length,
       glyphsClassified = preds.length,
-      formViolations = violations
+      formViolations = violations,
+      structureViolations = structViolations
     )
   }
 }
 
 object OcrEngine {
+  /** Confidence bucket: 10 buckets over [0,1] — the single definition
+    * of the histogram rule (OcrStage accumulates with it).
+    */
+  @inline def bucket(c: Double): Int = math.min(9, math.max(0, (c * 10).toInt))
+
   /** Confidence histogram bucketing: 10 buckets over [0,1]. */
   def histogram(confs: Iterable[Double]): Array[Int] = {
     val h = new Array[Int](10)
-    confs.foreach { c =>
-      val b = math.min(9, math.max(0, (c * 10).toInt))
-      h(b) += 1
-    }
+    confs.foreach(c => h(bucket(c)) += 1)
     h
   }
 }

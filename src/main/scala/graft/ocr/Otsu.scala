@@ -41,7 +41,7 @@ object Otsu {
   /** Pixels sampled for the threshold histogram (statistic only — the
     * binarization pass itself always reads every pixel).
     */
-  private val HistSample = 16384
+  val HistSample = 16384
 
   @annotation.tailrec
   private def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
@@ -53,7 +53,20 @@ object Otsu {
     // every column phase
     var stride = math.max(1, img.size / HistSample)
     while (stride > 1 && gcd(stride, img.width) != 1) stride -= 1
-    val t = threshold(img.histogram(stride))
+    var hist: Array[Int] = img.histogram(stride)
+    // sparse-ink guard: on a page whose ink fraction is below the
+    // sampling rate the sample can miss the ink class entirely, and
+    // Otsu would then split the background mode itself. Ink and
+    // background modes are far apart (>=100 intensity apart on any
+    // real scan), so a narrow sampled intensity spread means either a
+    // genuinely blank page or a missed ink class — pay one full pass
+    // to be sure
+    if (stride > 1) {
+      var lo = 255; var hi = 0; var v = 0
+      while (v < 256) { if (hist(v) > 0) { if (v < lo) lo = v; if (v > hi) hi = v }; v += 1 }
+      if (hi - lo < 100) hist = img.histogram
+    }
+    val t = threshold(hist)
     val out = BinaryImage.blank(img.width, img.height)
     var y = 0
     while (y < img.height) {

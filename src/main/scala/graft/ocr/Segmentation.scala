@@ -58,7 +58,12 @@ object Segmentation {
   }
 
   /** Per-column ink row-mask within a band (bit r set = ink at
-    * band.top + r). Bands are at most 64 rows by construction.
+    * band.top + r). Correctly-deskewed bands are GlyphH rows tall; a
+    * WRONG-angle candidate can smear lines into one band taller than
+    * 64 rows, where an unclamped `1L << r` would wrap modulo 64 and
+    * inject phantom ink into low rows — clamp instead (rows past 64
+    * are ignored; the engine's structural validation rejects such
+    * candidates anyway).
     */
   private def columnMasks(bin: BinaryImage, band: LineBand): Array[Long] = {
     val masks = new Array[Long](bin.width)
@@ -66,7 +71,7 @@ object Segmentation {
     while (x < bin.width) {
       var m = 0L
       var r = 0
-      val h = band.height
+      val h = math.min(band.height, 64)
       while (r < h) {
         if (bin(x, band.top + r)) m |= (1L << r)
         r += 1

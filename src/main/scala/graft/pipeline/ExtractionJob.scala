@@ -42,6 +42,13 @@ object ExtractionJob {
       mediaStore: MediaStore = SynthMediaStore
   )
 
+  /** Logical partition id: pmod(xxhash64(doc_id, salt), numPartitions)
+    * — ONE definition shared by extract and the resumable path (the
+    * resume anti-join is only sound if both sides agree on it).
+    */
+  def pidCol(cfg: Config): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("doc_id"), lit(cfg.salt)), lit(cfg.numPartitions)).cast("int")
+
   /** Pure transformation: extraction as a Dataset op (used by queries
     * and the bench; no checkpointing).
     */
@@ -49,7 +56,7 @@ object ExtractionJob {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(GlyphClassifier.defaultWeights)
     docs
-      .repartition(cfg.numPartitions, pmod(xxhash64(col("doc_id"), lit(cfg.salt)), lit(cfg.numPartitions)))
+      .repartition(cfg.numPartitions, pidCol(cfg))
       .as[Doc]
       .mapPartitions(new OcrStage(bc, cfg.mediaStore))
   }
@@ -94,11 +101,13 @@ object ExtractionJob {
                    cfg: Config = Config()): RunSummary = {
     import spark.implicits._
     val store = new CheckpointStore(s"$outDir/checkpoint")
+    // refuse to resume under a different partitioning: completed pids
+    // only mean "these docs are durable" under the SAME pid function
+    store.verifyOrWriteConfig(cfg.runId, cfg.numPartitions, cfg.salt)
     val completed = store.completedPids(cfg.runId)
     Files.createDirectories(Paths.get(s"$outDir/data"))
 
-    val withPid = docs
-      .withColumn("pid", pmod(xxhash64(col("doc_id"), lit(cfg.salt)), lit(cfg.numPartitions)).cast("int"))
+    val withPid = docs.withColumn("pid", pidCol(cfg))
     val completedDf = completed.toSeq.toDF("pid")
     val pending = withPid
       .join(broadcast(completedDf), Seq("pid"), "left_anti")
@@ -114,8 +123,7 @@ object ExtractionJob {
 
     pending.foreachPartition { (it: Iterator[(Int, String, Seq[Span])]) =>
       val stage = new OcrStage(bc, mediaStore)
-      val engine = new graft.ocr.OcrEngine(new GlyphClassifier(bc.value))
-      val _ = stage // engine built directly; stage kept for extractDoc
+      val engine = stage.newEngine()
       val writers = scala.collection.mutable.Map.empty[Int, (java.nio.file.Path, BufferedWriter)]
       val metrics = scala.collection.mutable.Map.empty[Int, Array[Long]] // docs,lines,glyphs,ocr,direct,failed
       it.foreach { case (pid, docId, spans) =>

@@ -32,9 +32,13 @@ final class OcrStage(
     store: MediaStore
 ) extends (Iterator[Doc] => Iterator[ExtractedDoc]) with Serializable {
 
+  /** Per-task engine over executor-shared broadcast weights — the ONE
+    * place engine construction lives (the resumable path reuses it).
+    */
+  def newEngine(): OcrEngine = new OcrEngine(new GlyphClassifier(weights.value))
+
   override def apply(docs: Iterator[Doc]): Iterator[ExtractedDoc] = {
-    // per-task engine over executor-shared broadcast weights
-    val engine = new OcrEngine(new GlyphClassifier(weights.value))
+    val engine = newEngine()
     docs.map(extractDoc(_, engine))
   }
 
@@ -57,7 +61,7 @@ final class OcrStage(
             glyphs += res.glyphsClassified
             res.glyphConfidences.foreach { c =>
               confSum += c
-              hist(math.min(9, math.max(0, (c * 10).toInt))) += 1
+              hist(OcrEngine.bucket(c)) += 1
             }
             val cleaned = ArabicNormalizer.normalizeBasicFast(res.text)
             if (cleaned.isEmpty) failedSpans += 1

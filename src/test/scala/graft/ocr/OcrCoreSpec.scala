@@ -98,6 +98,40 @@ class OcrCoreSpec extends AnyFunSuite {
     assert(t >= SynthRenderer.InkHi && t < SynthRenderer.DustLo, s"threshold $t outside gap")
   }
 
+  test("otsu: sampled threshold == full-histogram threshold on big rendered pages") {
+    // the sampling path (stride > 1 kicks in above 16k px) must land
+    // in the same empty ink/background gap as the full scan
+    val text = (0 until 12).map(_ => "قانون العمل نظام المحكمه").mkString(" ")
+    val img = SynthRenderer.render(text, 1250, 3000, 3L)
+    assert(img.size > Otsu.HistSample, "fixture must actually exercise sampling")
+    val sampled = Otsu.binarize(img)
+    val tFull = Otsu.threshold(img.histogram)
+    var fullInk = 0
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) { if (img(x, y) <= tFull) fullInk += 1; x += 1 }
+      y += 1
+    }
+    assert(sampled.inkCount == fullInk, "sampled threshold diverged from full scan")
+  }
+
+  test("pathological sparse ink never yields phantom glyphs (degenerate-page guard)") {
+    // 0.0025% ink: Otsu itself (sampled OR full) cannot separate a
+    // class this small — between-class variance favors splitting the
+    // background mode. The engine's ink-fraction guard must turn the
+    // resulting degenerate binarization into an EMPTY result, never
+    // phantom text (reference skip-and-continue, smart.py:104-105)
+    val img = GrayImage.filled(2000, 1200, 0)
+    val rnd = new scala.util.Random(5)
+    var i = 0
+    while (i < img.size) { img.pixels(i) = (200 + rnd.nextInt(46)).toByte; i += 1 }
+    var k = 0
+    while (k < 60) { img.set(500 + k, 600, 30 + (k % 50)); k += 1 }
+    val res = new OcrEngine(GlyphClassifier.default).recognize(img)
+    assert(res.glyphsClassified == 0 && res.text == "")
+  }
+
   test("deskew: recovers injected shear angle exactly") {
     val text = "نظام المحكمه قرار 1445/11/07 عقد جديد"
     for (angle <- Seq(-3000, -1750, -250, 0, 250, 1500, 3000)) {

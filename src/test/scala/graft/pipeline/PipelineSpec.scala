@@ -158,6 +158,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resume refuses a different partitioning (completed pids would lie)") {
+    val docs = DocGen.synthetic(spark, nDocs = 20, seed = 41L)
+    val dir = Files.createTempDirectory("graft-cfg").toString
+    ExtractionJob.runResumable(spark, docs, dir, ExtractionJob.Config(numPartitions = 8, runId = "cfg1"))
+    val e = intercept[IllegalArgumentException] {
+      ExtractionJob.runResumable(spark, docs, dir, ExtractionJob.Config(numPartitions = 16, runId = "cfg1"))
+    }
+    assert(e.getMessage.contains("resume config mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      ExtractionJob.runResumable(spark, docs, dir,
+        ExtractionJob.Config(numPartitions = 8, salt = 7L, runId = "cfg1"))
+    }
+    assert(e2.getMessage.contains("resume config mismatch"))
+    // same config still resumes fine
+    assert(ExtractionJob.runResumable(spark, docs, dir,
+      ExtractionJob.Config(numPartitions = 8, runId = "cfg1")).skippedPartitions > 0)
+    // hostile run ids are rejected before touching the filesystem
+    intercept[IllegalArgumentException] {
+      ExtractionJob.runResumable(spark, docs, dir,
+        ExtractionJob.Config(numPartitions = 8, runId = "../escape"))
+    }
+  }
+
   test("observe: job-level metrics collected without an extra pass") {
     val docs = DocGen.synthetic(spark, nDocs = 30, seed = 3L)
     val (ds, obs) = ExtractionJob.extractObserved(spark, docs)
