@@ -482,7 +482,8 @@ object SparkEntry {
 
       "a12_key_patterns" ->
         (s"SELECT doc_id, array_to_string(list_transform(list_filter(list_transform(" +
-          s"string_split($augmentedSql || '. ' || text, '.')[1:5], x -> trim(x)), " +
+          s"string_split($augmentedSql || '. ' || text, '.')[1:5], " +
+          raw"x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')), " +
           s"x -> length(x) > 10), x -> substr(x, 1, 100)), '|') AS key_patterns FROM documents"),
 
       "r2r4_rankings" ->
@@ -503,7 +504,7 @@ object SparkEntry {
         "SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_id FROM documents GROUP BY 1",
 
       "dd_jaccard_pairs" ->
-        ("WITH t AS (SELECT doc_id, lang, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks FROM documents) " +
+        ("WITH t AS (SELECT doc_id, lang, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM documents) " +
           "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
           "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard " +
           "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25 " +

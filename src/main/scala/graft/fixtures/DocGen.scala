@@ -37,7 +37,10 @@ object DocGen {
     Doc(
       doc_id = s"doc-$id",
       spans = Seq(
-        Span("text", text.substring(0, math.min(120, text.length)), "", 0),
+        // truncate on CODEPOINTS (matching the oracle's substr
+        // semantics); a UTF-16-unit cut could split a surrogate pair
+        Span("text", text.substring(0,
+          text.offsetByCodePoints(0, math.min(120, text.codePointCount(0, text.length)))), "", 0),
         Span("image", "", SynthMediaStore.ref(s1, Vocab.Angles(Vocab.angleIdx1(id)),
           Vocab.Noises(Vocab.noiseIdx1(id)), id), 1),
         Span("image", "", SynthMediaStore.ref(s2, Vocab.Angles(Vocab.angleIdx2(id)),

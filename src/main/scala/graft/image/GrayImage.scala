@@ -13,6 +13,10 @@ package graft.image
   */
 final class GrayImage(val width: Int, val height: Int, val pixels: Array[Byte], val offset: Int) {
   def this(width: Int, height: Int, pixels: Array[Byte]) = this(width, height, pixels, 0)
+  // Long math: a hostile header like 65536x65536 overflows Int to 0
+  // and would sail past a width*height bounds check
+  require(width > 0 && height > 0 && width.toLong * height <= Int.MaxValue,
+    s"bad dimensions: $width x $height")
   val size: Int = width * height
   require(offset >= 0 && pixels.length - offset >= size,
     s"bad raster: ${pixels.length} - $offset < $width*$height")

@@ -64,7 +64,7 @@ object FrameCodec {
     val text = new String(java.util.Base64.getUrlDecoder.decode(parts(2)),
       java.nio.charset.StandardCharsets.UTF_8)
     val bufs = (0 until frames).map { f =>
-      PgmCodec.encode(SynthRenderer.render(text, 0, 2000, seed + f))
+      SynthRenderer.renderPgm(text, 0, 2000, seed + f)
     }
     val out = new Array[Byte](bufs.map(_.length).sum)
     var off = 0

@@ -46,12 +46,7 @@ object SynthMediaStore extends MediaStore {
 
   override def fetch(mediaRef: String): Array[Byte] = {
     val p = parse(mediaRef)
-    // render straight into the PGM payload: no intermediate raster copy
-    val (w, h) = SynthRenderer.dimensions(p.text, p.angleMdeg)
-    val header = PgmCodec.headerBytes(w, h)
-    val out = new Array[Byte](header.length + w * h)
-    System.arraycopy(header, 0, out, 0, header.length)
-    SynthRenderer.renderInto(p.text, p.angleMdeg, p.noisePpm, p.seed, out, header.length)
-    out
+    // one layout pass + render straight into the PGM payload
+    SynthRenderer.renderPgm(p.text, p.angleMdeg, p.noisePpm, p.seed)
   }
 }

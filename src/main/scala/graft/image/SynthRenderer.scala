@@ -78,15 +78,16 @@ object SynthRenderer {
   /** Canvas dimensions for a given text+angle (used by metadata ops
     * and by the oracle constants in SparkEntry).
     */
-  def dimensions(text: String, angleMdeg: Int): (Int, Int) = {
-    val l = layout(text)
+  def dimensions(text: String, angleMdeg: Int): (Int, Int) =
+    dims(layout(text), angleMdeg)
+
+  private def dims(l: Layout, angleMdeg: Int): (Int, Int) =
     if (l.lines.isEmpty) (16, 16)
     else {
       val w = l.textWidth + 2 * Margin
       val skew = math.abs(shiftY(angleMdeg, w - 1))
       (w, l.textHeight + 2 * Margin + skew)
     }
-  }
 
   private final class Rng(seed: Long) {
     private var s = seed
@@ -101,18 +102,32 @@ object SynthRenderer {
   }
 
   def render(text: String, angleMdeg: Int, noisePpm: Int, seed: Long): GrayImage = {
-    val (w, h) = dimensions(text, angleMdeg)
-    renderInto(text, angleMdeg, noisePpm, seed, new Array[Byte](w * h), 0)
+    val l = layout(text)
+    val (w, h) = dims(l, angleMdeg)
+    renderInto(l, angleMdeg, noisePpm, seed, new Array[Byte](w * h), 0)
+  }
+
+  /** Full PGM payload in one pass: layout computed ONCE, raster
+    * rendered straight into the payload (the fetch hot path previously
+    * ran layout() three times per page via dimensions + renderInto).
+    */
+  def renderPgm(text: String, angleMdeg: Int, noisePpm: Int, seed: Long): Array[Byte] = {
+    val l = layout(text)
+    val (w, h) = dims(l, angleMdeg)
+    val header = PgmCodec.headerBytes(w, h)
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    renderInto(l, angleMdeg, noisePpm, seed, out, header.length)
+    out
   }
 
   /** Render directly into `buf` at `off` (e.g. the raster section of a
     * pre-allocated PGM payload) — avoids a full-raster copy on the
     * fetch path, where memory bandwidth bounds N->4N scaling.
     */
-  def renderInto(text: String, angleMdeg: Int, noisePpm: Int, seed: Long,
-                 buf: Array[Byte], off: Int): GrayImage = {
-    val l = layout(text)
-    val (w, h) = dimensions(text, angleMdeg)
+  private def renderInto(l: Layout, angleMdeg: Int, noisePpm: Int, seed: Long,
+                         buf: Array[Byte], off: Int): GrayImage = {
+    val (w, h) = dims(l, angleMdeg)
     val rng = new Rng(seed * 1000003L + angleMdeg * 7919L + noisePpm)
     val img = new GrayImage(w, h, buf, off)
     // background jitter: one RNG mix yields 8 pixels (the per-pixel mix

@@ -16,10 +16,13 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** Word tokens (lowercased, distinct) — the unit for Jaccard-style
-    * similarity.
+    * similarity. split() emits a phantom "" token for leading/trailing
+    * whitespace (limit -1 semantics); dropping it matters — two
+    * unrelated docs that merely both end in '\n' would otherwise share
+    * a token, inflating Jaccard and biasing every sketch.
     */
   def tokensCol(text: Column): Column =
-    array_distinct(split(lower(text), "\\s+"))
+    array_remove(array_distinct(split(lower(text), "\\s+")), "")
 
   /** Exact duplicate groups by content digest (md5). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -45,6 +45,21 @@ object DocumentAnalyzer {
 
   // ---- pure Scala twin --------------------------------------------------
 
+  /** Python str.strip() on sentence parts: '.'-split parts can carry
+    * \n/\t at their edges (page boundaries join with "\n\n"), which
+    * Python strips — Spark's space-only trim() and Java's
+    * control-char-eating String.trim both diverge, so all three twins
+    * strip the \s class explicitly.
+    */
+  private def stripWs(s: String): String = {
+    var a = 0
+    var b = s.length
+    @inline def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+    while (a < b && ws(s.charAt(a))) a += 1
+    while (b > a && ws(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   /** Non-overlapping substring count (Python str.count semantics). */
   def countOccurrences(haystack: String, needle: String): Int = {
     if (needle.isEmpty) return 0
@@ -67,7 +82,7 @@ object DocumentAnalyzer {
     val articleCount = ArticleRegex.r.findAllMatchIn(text).size
     val containsDates = DateRegex.r.findFirstIn(text).isDefined
     val keyPatterns = text.split("\\.", -1).take(5).toSeq
-      .map(_.trim).filter(_.length > 10).map(_.take(100))
+      .map(stripWs).filter(_.length > 10).map(_.take(100))
     Analysis(detected, math.min(maxCount / 10.0, 1.0), found.result(), articleCount, containsDates, keyPatterns)
   }
 
@@ -128,7 +143,9 @@ object DocumentAnalyzer {
   def keyPatternsCol(text: Column): Column =
     transform(
       filter(
-        transform(slice(split(text, "\\.", -1), 1, 5), s => trim(s)),
+        // \s-strip, not trim(): parts carry \n at page boundaries
+        transform(slice(split(text, "\\.", -1), 1, 5),
+          s => regexp_replace(s, "^\\s+|\\s+$", "")),
         s => length(s) > 10),
       s => substring(s, 1, 100))
 
