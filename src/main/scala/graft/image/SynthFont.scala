@@ -69,11 +69,30 @@ object SynthFont {
   val Charset: Set[Char] =
     rightJoining ++ dualJoining ++ nonJoining ++ (digitsPunct - ' ') + Tatweel
 
+  // flat lookup tables: joining() runs ~9x per char during shaping
+  // (render AND letter-form resolution), and Set[Char] lookups box —
+  // every supported char is below U+0700
+  private val JoinTable: Array[Byte] = {
+    val t = new Array[Byte](0x700) // 0 = NoJoin
+    rightJoining.foreach(c => t(c) = 1)
+    dualJoining.foreach(c => t(c) = 2)
+    t(Tatweel) = 2
+    t
+  }
+  private val CharsetMask: Array[Boolean] = {
+    val m = new Array[Boolean](0x700)
+    Charset.foreach(c => m(c) = true)
+    m
+  }
+
+  @inline def inCharset(c: Char): Boolean = c < 0x700 && CharsetMask(c)
+
   def joining(c: Char): Joining =
-    if (c == Tatweel) DualJoin
-    else if (dualJoining(c)) DualJoin
-    else if (rightJoining(c)) RightJoin
-    else NoJoin
+    if (c < 0x700) JoinTable(c) match {
+      case 2 => DualJoin
+      case 1 => RightJoin
+      case _ => NoJoin
+    } else NoJoin
 
   // Contextual forms.
   val Isolated = 0; val Final = 1; val Initial = 2; val Medial = 3
@@ -94,15 +113,12 @@ object SynthFont {
   def shapeWord(word: String): Array[Int] = {
     val n = word.length
     val out = new Array[Int](n)
+    @inline def jt(c: Char): Int = if (c < 0x700) JoinTable(c) else 0
     var i = 0
     while (i < n) {
-      val c = word.charAt(i)
-      val joinPrev = i > 0 && joining(word.charAt(i - 1)) == DualJoin &&
-        (joining(c) == DualJoin || joining(c) == RightJoin)
-      val joinNext = joining(c) == DualJoin && i < n - 1 && {
-        val nx = joining(word.charAt(i + 1))
-        nx == DualJoin || nx == RightJoin
-      }
+      val j = jt(word.charAt(i))
+      val joinPrev = i > 0 && jt(word.charAt(i - 1)) == 2 && j >= 1
+      val joinNext = j == 2 && i < n - 1 && jt(word.charAt(i + 1)) >= 1
       out(i) =
         if (joinPrev && joinNext) Medial
         else if (joinPrev) Final

@@ -52,7 +52,7 @@ object SynthRenderer {
   def layout(text: String): Layout = {
     val words = wsPattern.split(text).filter(_.nonEmpty).toVector
     words.foreach(w => w.foreach { c =>
-      require(Charset(c), s"char not in synth font charset: U+${c.toInt.toHexString} '$c'")
+      require(SynthFont.inCharset(c), s"char not in synth font charset: U+${c.toInt.toHexString} '$c'")
     })
     if (words.isEmpty) return Layout(Vector.empty, 0, 0)
     val lines = Vector.newBuilder[Vector[String]]
@@ -163,6 +163,10 @@ object SynthRenderer {
       }
     }
 
+    // per-render scratch for glyph dropout (see glyphWithDropout)
+    val scratchBm = new Array[Boolean](GlyphArea)
+    val scratchIdx = new Array[Int](GlyphArea)
+
     var lineIdx = 0
     l.lines.foreach { words =>
       val y0 = Margin + lineIdx * (GlyphH + LineGap)
@@ -178,7 +182,7 @@ object SynthRenderer {
             var c = 0
             while (c < GlyphW) { put(gx + c, y0 + Baseline); c += 1 }
           } else {
-            val bm = glyphWithDropout(GlyphId(ch, forms(gi)), noisePpm, rng)
+            val bm = glyphWithDropout(GlyphId(ch, forms(gi)), noisePpm, rng, scratchBm, scratchIdx)
             var r = 0
             while (r < GlyphH) {
               var c = 0
@@ -214,17 +218,20 @@ object SynthRenderer {
     img
   }
 
-  /** Copy of the glyph bitmap with up to MaxNoiseDrops ink pixels
-    * removed, preserving the segmentation invariants.
+  /** Glyph bitmap with up to MaxNoiseDrops ink pixels removed,
+    * preserving the segmentation invariants. Writes into the caller's
+    * scratch buffers (the result is consumed before the next glyph, so
+    * one scratch pair per render kills a clone + index array per glyph
+    * — gigabytes of churn per bench run).
     */
-  private def glyphWithDropout(g: GlyphId, noisePpm: Int, rng: Rng): Array[Boolean] = {
+  private def glyphWithDropout(g: GlyphId, noisePpm: Int, rng: Rng,
+                               scratchBm: Array[Boolean], scratchIdx: Array[Int]): Array[Boolean] = {
     val base = Bitmaps(GlyphIndex(g))
     if (noisePpm <= 0) return base
     val dropThreshold = math.min(noisePpm.toLong * 50L, 400000L) // <=40% per attempt
-    val bm = base.clone()
-    // ink index built ONCE per glyph and edited in place (rebuilding it
-    // per attempt was allocation churn in the hottest render loop)
-    val inkIdx = new Array[Int](bm.length)
+    val bm = scratchBm
+    System.arraycopy(base, 0, bm, 0, base.length)
+    val inkIdx = scratchIdx
     var nInk = 0
     var i = 0
     while (i < bm.length) { if (bm(i)) { inkIdx(nInk) = i; nInk += 1 }; i += 1 }
