@@ -214,28 +214,37 @@ object SparkEntry {
     "dd_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), idWindow = 25, threshold = 0.8)),
 
-    // Dedup: MinHash-LSH candidate pairs (banded signatures) —
-    // non-SQL-expressible oracle; validated in ScalaTest with planted dups
+    // Dedup: MinHash-LSH candidate pairs over the cross-engine poly
+    // hash family — the FULL shingle->minhash->band->bucket->verify
+    // pipeline is oracle-checked in DuckDB (the xxhash64 variant stays
+    // as the 64-bit-spread API, pinned equal-recall in SketchSpec)
     "dd_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir), bands = 8, rowsPerBand = 4, threshold = 0.8)),
+      Dedup.minhashLshPairsPoly(docs(s, dir), bands = 8, rowsPerBand = 4, threshold = 0.8)),
 
-    // Dedup: SimHash near-dup pairs (quarter blocking)
+    // Dedup: SimHash near-dup pairs (poly 30-bit signature, 10-bit
+    // third blocking; oracle-checked end to end like dd_minhash_lsh)
     "dd_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), maxHamming = 6)),
+      Dedup.simhashPairsPoly(docs(s, dir), maxHamming = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
     // Dedup: embedding-cosine near-dup pairs (exact windowed block join)
     "dd_embed_cosine" -> ((s, dir) =>
       Similarity.embedCosinePairs(embeddings(s, dir), idWindow = 50, threshold = 0.3)),
 
     // Dedup: embedding-cosine near-dup at scale (LSH bucket blocking) —
-    // rows-only; recall validated in OperatorsSpec with planted dups
+    // the bucket formula is cross-engine, so the APPROXIMATE result is
+    // oracle-checked (recall additionally validated in OperatorsSpec)
     "dd_embed_cosine_lsh" -> ((s, dir) =>
       Similarity.embedCosineLshPairs(embeddings(s, dir), planes = 6, threshold = 0.3)),
 
-    // ANN: IVF cell-probe top-k (second scale path; recall in tests)
+    // ANN: IVF cell-probe top-k at EXHAUSTIVE probing (nProbe = nCells)
+    // — exercises the full IVF machinery (driver k-means, cell
+    // assignment, probe fan-out) under a setting provably equal to
+    // brute force, so the brute-force SQL is its oracle; approximate
+    // nProbe < nCells recall is pinned in OperatorsSpec
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      Similarity.annIvfTopK(emb, emb.where(col("vec_id") < 8), k = 3, nCells = 16, nProbe = 4)
+      Similarity.annIvfTopK(emb, emb.where(col("vec_id") < 8), k = 3, nCells = 16, nProbe = 16)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rank"))
     }),
 
@@ -246,10 +255,12 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rank"))
     }),
 
-    // ANN: LSH-bucketed top-k (scale path) — recall validated in tests
+    // ANN: LSH-bucketed top-k with 1-bit multi-probe (scale path) —
+    // the probe-set rule is cross-engine, so the approximate result is
+    // oracle-checked directly; recall bounds validated in tests
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      Similarity.annLshTopK(emb, emb.where(col("vec_id") < 8), k = 3, planes = 8)
+      Similarity.annLshTopK(emb, emb.where(col("vec_id") < 8), k = 3, planes = 8, probeBits = 1)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rank"))
     }),
 
@@ -308,26 +319,76 @@ object SparkEntry {
     // line text per image span, exactly matching the rendered layout
     "ocr_lines" -> ((s, dir) => {
       import s.implicits._
-      DocGen.fromDriverDocs(s, dir).mapPartitions { it =>
-        val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
-        it.flatMap { d =>
-          d.spans.filter(_.kind == "image").flatMap { sp =>
-            val img = graft.image.PgmCodec.decode(graft.image.SynthMediaStore.fetch(sp.media_ref))
-            engine.recognize(img).lines.zipWithIndex.map { case (l, j) =>
-              (d.doc_id, sp.offset.toLong, j.toLong, l.text)
+      // SAME salted repartition as ExtractionJob.extract: without it
+      // this fan-out inherits the parquet's few input partitions and
+      // the per-image OCR work runs on a handful of cores (measured 7x
+      // slower than the flagship in round 1)
+      DocGen.fromDriverDocs(s, dir)
+        .repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
+        .as[graft.model.Doc]
+        .mapPartitions { it =>
+          val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
+          it.flatMap { d =>
+            d.spans.filter(_.kind == "image").flatMap { sp =>
+              val img = graft.image.PgmCodec.decode(graft.image.SynthMediaStore.fetch(sp.media_ref))
+              engine.recognize(img).lines.zipWithIndex.map { case (l, j) =>
+                (d.doc_id, sp.offset.toLong, j.toLong, l.text)
+              }
             }
           }
-        }
-      }.toDF("doc_id", "offset", "line_idx", "line_text")
+        }.toDF("doc_id", "offset", "line_idx", "line_text")
     }),
+
+    // P3+P4: line-confidence floor + valid-word filter as a driver
+    // query (easyocr_backend.py:113-121 floor semantics, the 0.3 floor
+    // of src/config.py:27,34,44; tesseract_backend.py:138-142 empty
+    // filter). Noise-free renders make every real line's confidence
+    // exactly 1.0, so the SAME recognized page is provably KEPT at the
+    // reference's 0.3 floor and provably DROPPED at an unattainable
+    // 1.01 floor — both sides of the gate, deterministically oracle-
+    // statable. (A garbage-input negative is impossible by design:
+    // nearest-template confidence floors around ~0.7 even on noise
+    // blobs, so only the floor value itself discriminates exactly.)
+    "p3_conf_floor" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(32, pmod(xxhash64(col("doc_id"), lit(42L)), lit(32)))
+        .mapPartitions { it =>
+          val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
+          it.flatMap { id =>
+            val ref = graft.image.SynthMediaStore.ref(
+              Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)), 0, id)
+            val img = graft.image.PgmCodec.decode(graft.image.SynthMediaStore.fetch(ref))
+            Seq(0.3, 1.01).map { floor =>
+              val r = engine.recognize(img, minLineConf = floor)
+              (id, floor, r.lines.size.toLong, r.text)
+            }
+          }
+        }.toDF("doc_id", "floor", "kept_lines", "kept_text")
+    }),
+
+    // Evaluation envelope (ocr_evaluation.py:102-126): the per-run
+    // record {backend_name, pdf_path, pages_processed, success}
+    // surfaced per document from the extraction output (deterministic
+    // fields only; evaluation_time/timestamp are nondeterministic and
+    // live in the lineage table instead)
+    "eval_envelope" -> ((s, dir) =>
+      ExtractionJob.extract(s, DocGen.fromDriverDocs(s, dir)).toDF
+        .select(col("doc_id"),
+          lit("graft").as("backend_name"),
+          concat(col("doc_id"), lit(".pdf")).as("pdf_path"),
+          size(col("spans")).cast("long").as("pages_processed"),
+          (col("metrics.failed_spans") === 0 && col("error").isNull).as("success"))),
 
     // OCR-quality gate: keep documents whose pooled glyph confidence
     // clears a threshold — the standard training-data filter over OCR'd
-    // corpora (confidence floor semantics of src/config.py:81). Values
-    // depend on the seeded dropout, so this is rows-only; the bounds
-    // (clean == 1.0, noisy >= MinValidConf) are pinned in PipelineSpec.
+    // corpora (confidence floor semantics of src/config.py:81). Run on
+    // the NOISE-FREE corpus, where every glyph matches its template
+    // exactly and mean confidence is exactly 1.0 — oracle-statable.
+    // The noisy-corpus bounds (>= MinValidConf) stay pinned in
+    // PipelineSpec.
     "ocr_conf_filter" -> ((s, dir) =>
-      ExtractionJob.extract(s, DocGen.fromDriverDocs(s, dir))
+      ExtractionJob.extract(s, DocGen.fromDriverDocsClean(s, dir))
         .select(col("doc_id"), round(col("metrics.mean_confidence"), 6).as("mean_conf"))
         .where(col("mean_conf") >= 0.99)),
 
@@ -509,6 +570,47 @@ object SparkEntry {
           "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard " +
           "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25 " +
           "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8"),
+
+      // poly-hash sketch pipelines: oracles generated from the same
+      // constants as the operators (Dedup/Similarity *.OracleSql)
+      "dd_minhash_lsh" -> Dedup.minhashLshOracleSql(bands = 8, rowsPerBand = 4, threshold = 0.8),
+
+      "dd_simhash" -> Dedup.simhashOracleSql(maxHamming = 4),
+
+      "dd_embed_cosine_lsh" -> Similarity.embedCosineLshOracleSql(planes = 6, threshold = 0.3),
+
+      "ann_lsh_topk" -> Similarity.annLshTopKOracleSql(k = 3, planes = 8, probeBits = 1,
+        queryPred = "vec_id < 8"),
+
+      // exhaustive probing (nProbe = nCells) is provably brute force
+      "ann_ivf_topk" ->
+        ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8), " +
+          "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+          "s AS (SELECT query_id, vec_id AS neighbor_id, " +
+          "round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 6) AS score " +
+          "FROM q JOIN c ON vec_id <> query_id), " +
+          "r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank FROM s) " +
+          "SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 3"),
+
+      // noise-free corpus: every glyph matches its template exactly
+      "ocr_conf_filter" ->
+        "SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, CAST(1.0 AS DOUBLE) AS mean_conf FROM documents",
+
+      "p3_conf_floor" -> {
+        // clean render: one line (single-line layout pinned by the
+        // Vocab guard test) at confidence exactly 1.0 — kept at the
+        // 0.3 floor, dropped at the unattainable 1.01 floor
+        def rawLine(idx: String) =
+          vocabCase(idx, i => sqlLit(Vocab.Sentences(i).replace("ـ", "")))
+        s"SELECT doc_id, CAST(0.3 AS DOUBLE) AS floor, CAST(1 AS BIGINT) AS kept_lines, " +
+          s"${rawLine(s1)} AS kept_text FROM documents " +
+          s"UNION ALL SELECT doc_id, 1.01, 0, '' FROM documents"
+      },
+
+      "eval_envelope" ->
+        ("SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 'graft' AS backend_name, " +
+          "'doc-' || CAST(doc_id AS VARCHAR) || '.pdf' AS pdf_path, " +
+          "CAST(3 AS BIGINT) AS pages_processed, TRUE AS success FROM documents"),
 
       "dd_embed_cosine" ->
         ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +

@@ -30,10 +30,25 @@ object DocGen {
       .map { case (id, text) => driverDoc(id, text) }
   }
 
+  /** Noise-free twin of fromDriverDocs (every image span rendered at
+    * noise 0): per-glyph confidence is exactly 1.0, which makes
+    * confidence-floor queries trivially oracle-statable
+    * (SparkEntry `ocr_conf_filter` / `p3_conf_floor`).
+    */
+  def fromDriverDocsClean(spark: SparkSession, sfDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) => driverDoc(id, text, noiseFree = true) }
+  }
+
   /** Pure construction shared with tests. */
-  def driverDoc(id: Long, text: String): Doc = {
+  def driverDoc(id: Long, text: String, noiseFree: Boolean = false): Doc = {
     val s1 = Vocab.Sentences(Vocab.sentenceIdx1(id))
     val s2 = Vocab.Sentences(Vocab.sentenceIdx2(id))
+    val n1 = if (noiseFree) 0 else Vocab.Noises(Vocab.noiseIdx1(id))
+    val n2 = if (noiseFree) 0 else Vocab.Noises(Vocab.noiseIdx2(id))
     Doc(
       doc_id = s"doc-$id",
       spans = Seq(
@@ -41,10 +56,8 @@ object DocGen {
         // semantics); a UTF-16-unit cut could split a surrogate pair
         Span("text", text.substring(0,
           text.offsetByCodePoints(0, math.min(120, text.codePointCount(0, text.length)))), "", 0),
-        Span("image", "", SynthMediaStore.ref(s1, Vocab.Angles(Vocab.angleIdx1(id)),
-          Vocab.Noises(Vocab.noiseIdx1(id)), id), 1),
-        Span("image", "", SynthMediaStore.ref(s2, Vocab.Angles(Vocab.angleIdx2(id)),
-          Vocab.Noises(Vocab.noiseIdx2(id)), id * 2 + 1), 2)
+        Span("image", "", SynthMediaStore.ref(s1, Vocab.Angles(Vocab.angleIdx1(id)), n1, id), 1),
+        Span("image", "", SynthMediaStore.ref(s2, Vocab.Angles(Vocab.angleIdx2(id)), n2, id * 2 + 1), 2)
       )
     )
   }

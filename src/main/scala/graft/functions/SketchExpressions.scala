@@ -27,6 +27,106 @@ object SketchKernels {
   @inline private def tokenHash(t: UTF8String): Long =
     XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, DefaultSeed)
 
+  // ---- cross-engine polynomial sketch family -----------------------------
+  //
+  // The xxhash64 sketches above are the widest-spread (64-bit) variants
+  // but cannot be restated in DuckDB. This family uses the polynomial
+  // rolling hash already proven cross-engine by TextStats.fingerprint:
+  // every step is integer arithmetic below 2^63, identical in Java,
+  // Catalyst and DuckDB SQL — so the ENTIRE shingle->minhash->band->
+  // bucket pipeline is oracle-checkable end to end.
+
+  /** Field modulus (2^31 - 1, prime). */
+  val PolyM = 2147483647L
+
+  /** Permutation-p multiplier/addend for the universal-hash family
+    * h_p(x) = (A_p * x + B_p) mod PolyM. Derived once here; the SQL
+    * oracle embeds the resulting LITERALS, so there is exactly one
+    * definition.
+    */
+  def permA(p: Int): Long = { val a = ((p + 1) * 2654435761L) % PolyM; if (a == 0L) 1L else a }
+  def permB(p: Int): Long = ((p + 1) * 2246822519L) % PolyM
+
+  /** Polynomial rolling hash over UTF-16 units (matches the Column
+    * twin's split(t, "") + ascii() enumeration and DuckDB's
+    * regexp_extract_all + unicode(); all fixture text is BMP-only, so
+    * units == codepoints on every engine).
+    */
+  def polyHash(t: UTF8String): Long = {
+    val s = t.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 131L + s.charAt(i)) % PolyM; i += 1 }
+    h
+  }
+
+  /** Poly-MinHash signature: sig(p) = min over tokens of
+    * (A_p * polyHash(token) + B_p) mod PolyM. Token hashed once; one
+    * multiply-add per permutation.
+    */
+  def minhashPoly(tokens: ArrayData, perms: Int): ArrayData = {
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = tokens.numElements()
+    var ti = 0
+    while (ti < n) {
+      val base = polyHash(tokens.getUTF8String(ti))
+      var p = 0
+      while (p < perms) {
+        val h = (permA(p) * base + permB(p)) % PolyM
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      ti += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Band buckets from a poly-minhash signature: bucket(b) = left fold
+    * g = (g * 1000003 + sig(p)) mod PolyM over the band's rows.
+    */
+  def minhashPolyBuckets(tokens: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val sig = minhashPoly(tokens, bands * rowsPerBand).asInstanceOf[UnsafeArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var g = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        g = (g * 1000003L + sig.getLong(b * rowsPerBand + r)) % PolyM
+        r += 1
+      }
+      out(b) = g
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Poly-SimHash bit width (PolyM is 31-bit; 30 usable sign bits). */
+  val PolySimBits = 30
+
+  /** Poly-SimHash: bit b set iff strictly more than half the token
+    * hashes have bit b set (equivalent to the +-1 sum > 0 rule).
+    */
+  def simhashPoly(tokens: ArrayData): Long = {
+    val ones = new Array[Int](PolySimBits)
+    val n = tokens.numElements()
+    var ti = 0
+    while (ti < n) {
+      val h = polyHash(tokens.getUTF8String(ti))
+      var b = 0
+      while (b < PolySimBits) {
+        if (((h >>> b) & 1L) == 1L) ones(b) += 1
+        b += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < PolySimBits) { if (2 * ones(b) > n) out |= (1L << b); b += 1 }
+    out
+  }
+
   def minhash(tokens: ArrayData, perms: Int): ArrayData = {
     val sig = new Array[Long](perms)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -73,15 +173,85 @@ object SketchKernels {
 case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  override def nullable: Boolean = true
 
-  // null tokens -> null signature (like the HOF twin): a non-null
-  // sentinel would send every null-text doc into the SAME bucket of
-  // every band, manufacturing a hot bucket of spurious candidates
-  override protected def nullSafeEval(tokens: Any): Any =
-    SketchKernels.minhash(tokens.asInstanceOf[ArrayData], perms)
+  // null OR EMPTY tokens -> null signature: a non-null sentinel (the
+  // Long.MaxValue fill an empty fold would leave) would send every
+  // empty/whitespace-only doc into the SAME bucket of every band,
+  // manufacturing exactly the hot bucket the null propagation is
+  // designed out of. Callers filter null signatures before banding.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null else SketchKernels.minhash(arr, perms)
+    }
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t => s"graft.functions.SketchKernels.minhash($t, $perms)")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |if ($t.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.minhash($t, $perms); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Band-bucket array of the cross-engine poly-MinHash (one single
+  * pass: token poly-hashed once, `bands * rowsPerBand` mixes, bands
+  * folded). Null/empty tokens -> null, like MinHashSignature.
+  */
+case class MinHashPolyBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_poly_buckets"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null
+      else SketchKernels.minhashPolyBuckets(arr, bands, rowsPerBand)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |if ($t.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.minhashPolyBuckets($t, $bands, $rowsPerBand); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cross-engine 30-bit poly-SimHash. Null/empty tokens -> null. */
+case class SimHashPoly(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_poly"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null else SketchKernels.simhashPoly(arr)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |if ($t.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.simhashPoly($t); }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -91,14 +261,26 @@ case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpressi
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def nullable: Boolean = true
 
-  // null -> null (HOF-twin parity): the 0L sentinel would pair every
-  // null-text doc at hamming distance 0
-  override protected def nullSafeEval(tokens: Any): Any =
-    SketchKernels.simhash(tokens.asInstanceOf[ArrayData])
+  // null OR EMPTY -> null (same rationale as MinHashSignature): the 0L
+  // an empty fold would produce pairs every empty-token doc at hamming
+  // distance 0
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null else SketchKernels.simhash(arr)
+    }
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t => s"graft.functions.SketchKernels.simhash($t)")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |if ($t.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.simhash($t); }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

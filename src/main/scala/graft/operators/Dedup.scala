@@ -72,12 +72,15 @@ object Dedup {
     * Catalyst-HOF reference form — kept as the property-tested twin of
     * the native expression below (SketchSpec), NOT used in the hot
     * path: it re-traverses (and re-hashes) the token array once per
-    * permutation in interpreted HOFs.
+    * permutation in interpreted HOFs. Empty token arrays yield null
+    * (matching the native expression — see MinHashSignature's
+    * hot-bucket rationale).
     */
   def minhashSignatureCol(tokens: Column, perms: Int): Column =
-    array((0 until perms).map { i =>
-      array_min(transform(tokens, t => xxhash64(t, lit(i))))
-    }: _*)
+    when(size(tokens) > 0,
+      array((0 until perms).map { i =>
+        array_min(transform(tokens, t => xxhash64(t, lit(i))))
+      }: _*))
 
   /** Native single-pass MinHash signature (hashes each token once,
     * one int-mix per permutation; codegen'd).
@@ -100,19 +103,22 @@ object Dedup {
     */
   val MaxBucketSize = 64
 
-  def minhashLshPairs(docs: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double,
-                      maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    val perms = bands * rowsPerBand
-    val sig = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
-      .withColumn("sig", minhashSignature(col("toks"), perms))
-    val banded = sig.select(
-      col("doc_id"), col("toks"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "bucket")))
-    val cold = banded.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("bucket_n") <= maxBucketSize)
+  /** Drop members of over-populated (band, bucket) groups. Implemented
+    * as a groupBy-count + BROADCAST ANTI-JOIN of the hot keys: hot
+    * buckets are few by definition (each holds > maxBucketSize rows,
+    * so at most n/maxBucketSize keys exist), where the previous
+    * window-count form paid a full sort per bucket partition.
+    */
+  private def dropHotBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
+  private def lshPairsFromBanded(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val cold = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val a = cold.as("a"); val b = cold.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -120,7 +126,43 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         round(jaccardCol(col("a.toks"), col("b.toks")), 6).as("jaccard"))
       .distinct()
-      .where(col("jaccard") >= threshold)
+  }
+
+  def minhashLshPairs(docs: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double,
+                      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val perms = bands * rowsPerBand
+    val sig = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .withColumn("sig", minhashSignature(col("toks"), perms))
+      .where(col("sig").isNotNull) // empty-token docs sketch nothing
+    val banded = sig.select(
+      col("doc_id"), col("toks"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+    lshPairsFromBanded(banded, maxBucketSize).where(col("jaccard") >= threshold)
+  }
+
+  /** Native poly band buckets (cross-engine family; one pass). */
+  def minhashPolyBuckets(tokens: Column, bands: Int, rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashPolyBuckets(
+      ColumnBridge.expression(tokens), bands, rowsPerBand))
+  }
+
+  /** MinHash-LSH candidate pairs over the CROSS-ENGINE polynomial hash
+    * family (SketchKernels.minhashPoly): identical band->bucket->verify
+    * pipeline to `minhashLshPairs`, but every step is restatable in
+    * DuckDB SQL — this is the oracle-checked face of the LSH operator
+    * (minhashLshOracleSql generates the oracle from the same
+    * constants).
+    */
+  def minhashLshPairsPoly(docs: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double,
+                          maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val banded = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .withColumn("bks", minhashPolyBuckets(col("toks"), bands, rowsPerBand))
+      .where(col("bks").isNotNull)
+      .select(col("doc_id"), col("toks"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    lshPairsFromBanded(banded, maxBucketSize).where(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash from token hashes, as Catalyst expressions: for
@@ -154,16 +196,10 @@ object Dedup {
     ColumnBridge.column(graft.functions.SimHash64(ColumnBridge.expression(tokens)))
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int,
-                   maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    val sh = docs.select(col("doc_id"), simhashCol(tokensCol(col("text"))).as("simhash"))
-    val blocked = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map { q =>
-          shiftright(col("simhash"), q * 16).bitwiseAND(0xffffL)
-        }: _*)).as(Seq("q", "block")))
-      .withColumn("block_n", count(lit(1)).over(Window.partitionBy(col("q"), col("block"))))
-      .where(col("block_n") <= maxBucketSize)
-    val a = blocked.as("a"); val b = blocked.as("b")
+  private def simhashPairsFromBlocked(blocked: DataFrame, maxHamming: Int,
+                                      maxBucketSize: Int): DataFrame = {
+    val cold = dropHotBuckets(blocked, Seq("q", "block"), maxBucketSize)
+    val a = cold.as("a"); val b = cold.as("b")
     a.join(b,
         col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -171,5 +207,112 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhashCol(tokensCol(col("text"))).as("simhash"))
+      .where(col("simhash").isNotNull)
+    val blocked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(0xffffL)
+      }: _*)).as(Seq("q", "block")))
+    simhashPairsFromBlocked(blocked, maxHamming, maxBucketSize)
+  }
+
+  /** Native cross-engine 30-bit poly-SimHash column. */
+  def simhashPolyCol(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SimHashPoly(ColumnBridge.expression(tokens)))
+  }
+
+  /** SimHash near-dup pairs over the cross-engine poly hash: 30-bit
+    * signature blocked on its three 10-bit thirds (pigeonhole: any
+    * pair at hamming <= 2 shares a third EXACTLY; beyond that the
+    * blocking is the usual recall/cost heuristic). The oracle-checked
+    * face of the SimHash operator (simhashOracleSql).
+    */
+  def simhashPairsPoly(docs: DataFrame, maxHamming: Int,
+                       maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    import graft.functions.SketchKernels.PolySimBits
+    val sh = docs.select(col("doc_id"), simhashPolyCol(tokensCol(col("text"))).as("simhash"))
+      .where(col("simhash").isNotNull)
+    val blocked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 3).map { q =>
+        shiftright(col("simhash"), q * (PolySimBits / 3)).bitwiseAND((1L << (PolySimBits / 3)) - 1)
+      }: _*)).as(Seq("q", "block")))
+    simhashPairsFromBlocked(blocked, maxHamming, maxBucketSize)
+  }
+
+  // ---- DuckDB oracle SQL for the poly pipelines ---------------------------
+  //
+  // Generated from the SAME constants as the Spark path (PolyM, permA/
+  // permB, the 1000003 band fold, the 10-bit thirds), so the oracle and
+  // the operator cannot drift apart. Every arithmetic step stays below
+  // 2^63: A_p, h < 2^31 so A_p*h + B_p < 2^62; the band fold's
+  // g*1000003 + sig < 2^52.
+
+  /** toks CTE body shared by the poly oracles (DuckDB). */
+  private def toksSql: String =
+    "SELECT doc_id, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), " +
+      "x -> x <> '') AS toks FROM documents"
+
+  /** Per-token polynomial hash list (DuckDB twin of polyHash). */
+  private def polyHashListSql: String =
+    "list_transform(toks, tk -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      raw"list_transform(regexp_extract_all(tk, '[\s\S]'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * 131 + b) % ${graft.functions.SketchKernels.PolyM}))"
+
+  private def jaccardSql(a: String, b: String): String =
+    s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE), 6)"
+
+  def minhashLshOracleSql(bands: Int, rowsPerBand: Int, threshold: Double,
+                          maxBucketSize: Int = MaxBucketSize): String = {
+    import graft.functions.SketchKernels.{PolyM, permA, permB}
+    val sigCols = (0 until bands * rowsPerBand).map { p =>
+      s"list_min(list_transform(hs, x -> (${permA(p)} * x + ${permB(p)}) % $PolyM)) AS s$p"
+    }.mkString(", ")
+    val bucketCols = (0 until bands).map { b =>
+      val fold = (0 until rowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc * 1000003 + s${b * rowsPerBand + r}) % $PolyM)"
+      }
+      s"$fold AS bk$b"
+    }.mkString(", ")
+    val bandStructs = (0 until bands).map(b => s"{'band': $b, 'bucket': bk$b}").mkString(", ")
+    s"""WITH t AS ($toksSql),
+       |h AS (SELECT doc_id, toks, $polyHashListSql AS hs FROM t WHERE len(toks) > 0),
+       |sig AS (SELECT doc_id, toks, $sigCols FROM h),
+       |bk AS (SELECT doc_id, toks, $bucketCols FROM sig),
+       |banded AS (SELECT doc_id, toks, u['band'] AS band, u['bucket'] AS bucket
+       |  FROM bk, UNNEST([$bandStructs]) AS un(u)),
+       |cold AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucketSize),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${jaccardSql("a.toks", "b.toks")} AS jaccard
+       |  FROM cold a JOIN cold b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  def simhashOracleSql(maxHamming: Int, maxBucketSize: Int = MaxBucketSize): String = {
+    import graft.functions.SketchKernels.PolySimBits
+    val bitSum = (0 until PolySimBits).map { b =>
+      s"(CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> $b) & 1)) > len(hs) " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val third = PolySimBits / 3
+    val blockStructs = (0 until 3).map { q =>
+      s"{'q': $q, 'block': (sh >> ${q * third}) & ${(1L << third) - 1}}"
+    }.mkString(", ")
+    s"""WITH t AS ($toksSql),
+       |h AS (SELECT doc_id, $polyHashListSql AS hs FROM t WHERE len(toks) > 0),
+       |sim AS (SELECT doc_id, $bitSum AS sh FROM h),
+       |blocked AS (SELECT doc_id, sh, u['q'] AS q, u['block'] AS block
+       |  FROM sim, UNNEST([$blockStructs]) AS un(u)),
+       |cold AS (SELECT * FROM blocked QUALIFY count(*) OVER (PARTITION BY q, block) <= $maxBucketSize),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sh, b.sh)) AS hamming
+       |  FROM cold a JOIN cold b ON a.q = b.q AND a.block = b.block AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= $maxHamming""".stripMargin
   }
 }

@@ -54,14 +54,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight
-    * derived from a hash — equivalent to a fixed seeded projection
-    * matrix, expressible in pure Catalyst.
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight in
+    * [-1, 1] from an integer mix — equivalent to a fixed seeded
+    * projection matrix. The mix is pure sub-2^63 integer arithmetic
+    * (p*131071 + d < 2^21; * 2654435761 < 2^53), so the SAME formula is
+    * restated verbatim in the DuckDB oracles (lshBucketSql) — that is
+    * what makes the approximate LSH results oracle-checkable.
     */
-  private def planeWeight(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(1000001L)).cast("double") - 500000.0) / 500000.0
+  private val PlaneMixA = 131071L
+  private val PlaneMixB = 2654435761L
+  private val PlaneMod = 1000001L
 
-  /** Sign-of-projection LSH bucket: `planes`-bit signature. */
+  private def planeWeight(p: Int, d: Column): Column =
+    ((((lit(p.toLong * PlaneMixA) + d) * PlaneMixB) % PlaneMod).cast("double") - 500000.0) / 500000.0
+
+  /** Sign-of-projection LSH bucket: `planes`-bit signature. The
+    * projection is a SEQUENTIAL left fold in double (aggregate), so the
+    * oracle's list_reduce fold reproduces it bit-for-bit.
+    */
   def lshBucketCol(emb: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
@@ -72,6 +82,18 @@ object Similarity {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** DuckDB twin of lshBucketCol over a DOUBLE[] expression `e`.
+    * DuckDB lambda indexes are 1-based, hence the (i-1).
+    */
+  def lshBucketSql(e: String, planes: Int): String =
+    (0 until planes).map { p =>
+      val w = s"((CAST(${p.toLong * PlaneMixA} AS BIGINT) + (i - 1)) * $PlaneMixB) % $PlaneMod"
+      val proj = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($e, (x, i) -> x * ((CAST($w AS DOUBLE) - 500000.0) / 500000.0))), " +
+        "(a, b) -> a + b)"
+      s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** Embedding-cosine near-duplicate pairs (exact, windowed): candidate
     * pairs restricted to an id window, implemented as the same BLOCK
@@ -104,9 +126,12 @@ object Similarity {
     val t = embeddings.select(col("vec_id"), col("embedding"),
       normCol(col("embedding")).as("nrm"),
       lshBucketCol(col("embedding"), planes).as("bucket"))
-    val cold = t.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .where(col("bucket_n") <= maxBucketSize)
+    // hot-bucket cap as a groupBy-count + broadcast anti-join (hot keys
+    // are few by definition) — cheaper at scale than a per-bucket
+    // window sort; same rationale as Dedup.dropHotBuckets
+    val hot = t.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize).select(col("bucket"))
+    val cold = t.join(broadcast(hot), Seq("bucket"), "left_anti")
     val a = cold.as("a"); val b = cold.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -114,6 +139,19 @@ object Similarity {
           .as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** DuckDB oracle of embedCosineLshPairs: same bucket formula, same
+    * hot-bucket cap, same round-6 cosine verify.
+    */
+  def embedCosineLshOracleSql(planes: Int, threshold: Double,
+                              maxBucketSize: Int = Dedup.MaxBucketSize): String =
+    s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, ${lshBucketSql("e", planes)} AS bucket FROM t),
+       |cold AS (SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY bucket) <= $maxBucketSize),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+       |  FROM cold a JOIN cold b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $threshold""".stripMargin
 
   // ---- IVF (inverted-file) ANN: the second scale path ------------------
 
@@ -219,18 +257,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** ANN via LSH buckets: candidates = same bucket (multi-probe over
-    * the exact bucket only, in this baseline), re-scored exactly,
-    * per-query top-k. Recall vs brute force is validated in tests.
+  /** All bucket-signature masks with popcount <= probeBits (the
+    * standard multi-probe sequence: the exact bucket, then 1-bit
+    * flips, then 2-bit flips, ...). Size is sum of C(planes, i) —
+    * driver-side tiny for practical planes/probeBits.
     */
-  def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int): DataFrame = {
+  private def probeMasks(planes: Int, probeBits: Int): Seq[Long] = {
+    val masks = Seq.newBuilder[Long]
+    def rec(start: Int, left: Int, acc: Long): Unit = {
+      masks += acc
+      if (left > 0) {
+        var p = start
+        while (p < planes) { rec(p + 1, left - 1, acc | (1L << p)); p += 1 }
+      }
+    }
+    rec(0, probeBits, 0L)
+    masks.result()
+  }
+
+  /** ANN via LSH buckets with MULTI-PROBE: candidates are corpus
+    * vectors whose bucket is within hamming distance `probeBits` of
+    * the query's bucket (probeBits = 0 reproduces the exact-bucket
+    * baseline; probeBits = planes degenerates to brute force). The
+    * probe fan-out happens on the tiny broadcast QUERY side — the
+    * corpus pass stays a narrow shuffle-free projection. Re-scored
+    * exactly, per-query top-k. Sparse-bucket queries (the single-probe
+    * weakness: a bucket holding < k corpus vectors silently truncates
+    * the result) recover their neighbors from the flipped buckets.
+    */
+  def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int,
+                 probeBits: Int = 1): DataFrame = {
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
       normCol(col("embedding")).as("c_nrm"),
       lshBucketCol(col("embedding"), planes).as("bucket"))
+    val masks = probeMasks(planes, probeBits)
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         normCol(col("embedding")).as("q_nrm"),
-        lshBucketCol(col("embedding"), planes).as("bucket"))
+        lshBucketCol(col("embedding"), planes).as("q_bucket"))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)))
     val scored = bucketed
       .join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
@@ -240,4 +306,21 @@ object Similarity {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** DuckDB oracle of annLshTopK: the probe-set membership test is
+    * restated as bit_count(xor(corpus_bucket, query_bucket)) <=
+    * probeBits — the oracle checks the APPROXIMATE result itself, not
+    * a brute-force stand-in.
+    */
+  def annLshTopKOracleSql(k: Int, planes: Int, probeBits: Int, queryPred: String): String =
+    s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, ${lshBucketSql("e", planes)} AS bucket FROM t),
+       |q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b WHERE $queryPred),
+       |s AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 6) AS score
+       |  FROM q JOIN b ON vec_id <> query_id AND bit_count(xor(bucket, qb)) <= $probeBits),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= $k""".stripMargin
 }

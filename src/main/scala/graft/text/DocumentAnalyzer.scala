@@ -31,8 +31,16 @@ object DocumentAnalyzer {
     "judicial_collection" -> Seq("مجموعة", "أحكام", "قضائية", "سابقة")
   )
 
-  val ArticleRegex = "مادة\\s*\\d+"
-  val DateRegex = "\\d{4}/\\d{1,2}/\\d{1,2}|\\d{4}هـ|\\d{4}\\s*م"
+  /** Digit class for the article/date patterns. The reference's Python
+    * `\d` matches Arabic-Indic digits (U+0660-U+0669) as well as ASCII,
+    * but Java/RE2 `\d` is ASCII-only — so the class is spelled out
+    * explicitly, giving identical semantics in Java regex, RE2 (DuckDB)
+    * and the reference (smart-structured.py:311,315).
+    */
+  val DigitCls = "[0-9٠-٩]"
+  val ArticleRegex = s"مادة\\s*$DigitCls+"
+  val DateRegex =
+    s"$DigitCls{4}/$DigitCls{1,2}/$DigitCls{1,2}|$DigitCls{4}هـ|$DigitCls{4}\\s*م"
 
   final case class Analysis(
       documentType: String,
@@ -70,7 +78,10 @@ object DocumentAnalyzer {
   }
 
   def analyze(text: String): Analysis = {
-    val lower = text.toLowerCase
+    // Locale.ROOT: the Column twin uses Spark's locale-independent
+    // lower(); default-locale toLowerCase would diverge under tr-TR
+    // (dotless-I) even though no fixture reaches it
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     var maxCount = 0
     var detected = "Unknown"
     val found = Seq.newBuilder[String]

@@ -80,7 +80,10 @@ object TextStats {
       s"WHEN len(regexp_extract_all($e, '[؀-ۿ]')) > 0 THEN 'ar' ELSE 'unk' END)"
 
   def fingerprintSql(e: String): String =
+    // [\s\S], not '.': RE2's '.' skips newlines, but the Spark twin's
+    // split-by-"" enumerates them — a '\n' in the first 64 chars must
+    // hash identically on both sides
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(regexp_extract_all(substr($e, 1, 64), '.'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      raw"list_transform(regexp_extract_all(substr($e, 1, 64), '[\s\S]'), ch -> CAST(unicode(ch) AS BIGINT))), " +
       s"(a, b) -> (a * 131 + b) % 2147483647)"
 }
