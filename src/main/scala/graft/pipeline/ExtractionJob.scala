@@ -105,7 +105,11 @@ object ExtractionJob {
     // only mean "these docs are durable" under the SAME pid function
     store.verifyOrWriteConfig(cfg.runId, cfg.numPartitions, cfg.salt)
     val completed = store.completedPids(cfg.runId)
-    Files.createDirectories(Paths.get(s"$outDir/data"))
+    // data nested per run_id, mirroring the checkpoint layout: two runs
+    // sharing an outDir keep separate data AND separate marks (a flat
+    // data/ dir would let run B clobber run A's files via
+    // REPLACE_EXISTING while A's marks stayed valid)
+    Files.createDirectories(Paths.get(dataDir(outDir, cfg.runId)))
 
     val withPid = docs.withColumn("pid", pidCol(cfg))
     val completedDf = completed.toSeq.toDF("pid")
@@ -118,7 +122,7 @@ object ExtractionJob {
     val bc = spark.sparkContext.broadcast(GlyphClassifier.defaultWeights)
     val runId = cfg.runId
     val mediaStore = cfg.mediaStore
-    val dataDir = s"$outDir/data"
+    val runDataDir = dataDir(outDir, cfg.runId)
     val chkDir = s"$outDir/checkpoint"
 
     pending.foreachPartition { (it: Iterator[(Int, String, Seq[Span])]) =>
@@ -129,7 +133,7 @@ object ExtractionJob {
       it.foreach { case (pid, docId, spans) =>
         val out = stage.extractDoc(Doc(docId, spans), engine)
         val (_, w) = writers.getOrElseUpdate(pid, {
-          val tmp = Paths.get(dataDir, s".pid=$pid.jsonl.tmp-${java.util.UUID.randomUUID()}")
+          val tmp = Paths.get(runDataDir, s".pid=$pid.jsonl.tmp-${java.util.UUID.randomUUID()}")
           (tmp, new BufferedWriter(new OutputStreamWriter(Files.newOutputStream(tmp), StandardCharsets.UTF_8)))
         })
         w.write(JsonIo.toJson(out)); w.write("\n")
@@ -142,7 +146,7 @@ object ExtractionJob {
       val chk = new CheckpointStore(chkDir)
       writers.foreach { case (pid, (tmp, w)) =>
         w.close()
-        Files.move(tmp, Paths.get(dataDir, s"pid=$pid.jsonl"),
+        Files.move(tmp, Paths.get(runDataDir, s"pid=$pid.jsonl"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         val m = metrics(pid)
         chk.markCompleted(CheckpointRow(runId, pid, m(0), m(1), m(2), m(3), m(4), m(5),
@@ -179,9 +183,18 @@ object ExtractionJob {
     StructField("error", StringType)
   ))
 
-  def readOutput(spark: SparkSession, outDir: String): Dataset[ExtractedDoc] = {
+  /** Data directory of one run inside an outDir (mirrors the
+    * checkpoint's run_id=<run>/ layout).
+    */
+  def dataDir(outDir: String, runId: String): String = s"$outDir/data/run_id=$runId"
+
+  /** Read one run's committed output. `runId = "*"` reads every run in
+    * the outDir (only meaningful when runs processed disjoint inputs).
+    */
+  def readOutput(spark: SparkSession, outDir: String,
+                 runId: String = "run-0"): Dataset[ExtractedDoc] = {
     import spark.implicits._
-    spark.read.schema(outputSchema).json(s"$outDir/data/*.jsonl").as[ExtractedDoc]
+    spark.read.schema(outputSchema).json(s"${dataDir(outDir, runId)}/*.jsonl").as[ExtractedDoc]
   }
 }
 

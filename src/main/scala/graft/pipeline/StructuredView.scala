@@ -10,6 +10,8 @@ import org.apache.spark.sql.graft.ColumnBridge
   * `all-pdf-to-json-smart-structured.py` (:130-260) gets per document:
   *
   *   metadata        {filename, total_pages, extraction_method}
+  *   document_info   {title, author, subject, creator, producer,
+  *                    creation_date, modification_date}
   *   processing_info {smart_detection_used, ocr_pages, direct_pages,
   *                    failed_pages, processing_summary}
   *   content {
@@ -21,10 +23,6 @@ import org.apache.spark.sql.graft.ColumnBridge
   *     document_analysis {document_type, confidence, legal_terms_found,
   *                        article_count, contains_dates, key_patterns}
   *   }
-  *
-  * (document_info — PDF title/author metadata — has no analogue in the
-  * span data model: media carry no embedded metadata fields; the
-  * columns would be constant null and are omitted.)
   *
   * Built entirely from built-in expressions + the native term-counting
   * expression: a chain of narrow projections after the extraction
@@ -103,6 +101,19 @@ object StructuredView {
         concat(col("doc_id"), lit(".pdf")).as("filename"),
         size(col("spans")).as("total_pages"),
         lit("Smart Hybrid (graft)").as("extraction_method")).as("metadata"),
+      // field-for-field parity with the reference's document_info
+      // (smart-structured.py:141-149): PDF embedded metadata. The span
+      // data model carries none (media_ref resolves to raw pixels), so
+      // every field is null — exactly what the reference emits for a
+      // PDF without metadata ('' .strip() or None -> None).
+      struct(
+        lit(null).cast("string").as("title"),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("subject"),
+        lit(null).cast("string").as("creator"),
+        lit(null).cast("string").as("producer"),
+        lit(null).cast("string").as("creation_date"),
+        lit(null).cast("string").as("modification_date")).as("document_info"),
       struct(
         lit(true).as("smart_detection_used"),
         col("metrics.ocr_spans").as("ocr_pages"),

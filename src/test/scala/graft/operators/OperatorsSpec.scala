@@ -57,6 +57,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.exists(_._3 == 0), s"exact dup hamming: $exact")
   }
 
+  test("poly minhash-lsh / poly simhash: planted dups recovered; whitespace-only docs never pair") {
+    val withEmpty = corpus().union(Seq(
+      (300L, "   ", "en"), (301L, " \t ", "en")).toDF("doc_id", "text", "lang"))
+    val pairs = Dedup.minhashLshPairsPoly(withEmpty, bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((11L, 201L)), s"exact dup pair missing from poly LSH: $pairs")
+    assert(!pairs.contains((300L, 301L)),
+      "whitespace-only docs must not pair (null sketch, not a sentinel bucket)")
+    val sh = Dedup.simhashPairsPoly(withEmpty, maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(sh.exists(p => p._1 == 11L && p._2 == 201L && p._3 == 0),
+      s"exact dup must be at poly-simhash hamming 0")
+    assert(!sh.exists(p => p._1 == 300L && p._2 == 301L), "empty docs paired via simhash")
+  }
+
+  test("multi-probe LSH ANN: full-probe equals brute force; 1-bit probe beats exact-bucket on UNIFORM vectors") {
+    // anti-clustered fixture: uniform random embeddings, the adversarial
+    // case for single-bucket probing (sparse buckets truncate top-k)
+    val rnd = new scala.util.Random(29)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(24)(rnd.nextFloat() * 2 - 1), 0)).toDF("vec_id", "embedding", "label")
+    val queries = emb.where(col("vec_id") < 6)
+    val exact = Similarity.cosineTopK(emb, queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // degenerate completeness: probing every mask IS brute force
+    val all = Similarity.annLshTopK(emb, queries, 3, planes = 6, probeBits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(all == exact, "probeBits == planes must reproduce brute force exactly")
+    val curve = (0 to 3).map { pb =>
+      val got = Similarity.annLshTopK(emb, queries, 3, planes = 6, probeBits = pb)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got, exact.intersect(got).size.toDouble / exact.size)
+    }
+    info(s"uniform-vector recall curve (probeBits 0..3): ${curve.map(_._2).mkString(", ")}")
+    // a growing probe set can only add candidates, so recall is monotone
+    curve.sliding(2).foreach { case Seq((g0, r0), (g1, r1)) =>
+      assert(r1 >= r0, s"multi-probe recall regressed: $r1 < $r0")
+      assert(g1.size >= g0.size, "multi-probe must never return fewer candidates")
+    }
+    assert(curve(1)._2 > curve(0)._2,
+      "1-bit probe must strictly improve exact-bucket recall on this fixture")
+    assert(curve(3)._2 >= 0.8, s"probeBits=3 recall too low on uniform vectors: ${curve(3)._2}")
+  }
+
   test("lsh ANN: high recall of brute-force top-3 on clustered embeddings") {
     // LSH recall is only meaningful when true neighbors are angularly
     // close; uniform-random vectors have no structure to preserve.

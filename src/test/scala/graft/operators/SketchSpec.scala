@@ -56,6 +56,58 @@ class SketchSpec extends AnyFunSuite {
     assert(dots.toSeq == Seq(false, true), "null vector must yield null dot, not a crash")
   }
 
+  test("EMPTY token arrays -> null sketches on every variant (no shared sentinel bucket)") {
+    // an empty (non-null) array previously produced [Long.MaxValue,...]
+    // from the native kernel but nulls from the HOF twin — and every
+    // whitespace-only doc shared one sentinel signature, recreating the
+    // hot-bucket problem null propagation exists to prevent
+    val df = Seq(Seq.empty[String], Seq("a")).toDF("toks")
+    val nulls = df.select(
+      Dedup.minhashSignature(col("toks"), 8).isNull,
+      Dedup.minhashSignatureCol(col("toks"), 8).isNull,
+      Dedup.simhashCol(col("toks")).isNull,
+      Dedup.minhashPolyBuckets(col("toks"), 4, 2).isNull,
+      Dedup.simhashPolyCol(col("toks")).isNull)
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(nulls(0) == ((true, true, true, true, true)), s"empty array: ${nulls(0)}")
+    assert(nulls(1) == ((false, false, false, false, false)), s"non-empty: ${nulls(1)}")
+  }
+
+  // independent plain-Scala reimplementation of the poly sketch family
+  // (the DuckDB side is additionally pinned by the driver oracle gate)
+  private val M = 2147483647L
+  private def polyRef(t: String): Long = t.foldLeft(0L)((h, c) => (h * 131 + c) % M)
+  private def minhashPolyRef(toks: Seq[String], perms: Int): Seq[Long] =
+    (0 until perms).map { p =>
+      val a = { val x = ((p + 1) * 2654435761L) % M; if (x == 0) 1L else x }
+      val b = ((p + 1) * 2246822519L) % M
+      toks.map(t => (a * polyRef(t) + b) % M).min
+    }
+  private def bucketsRef(toks: Seq[String], bands: Int, rpb: Int): Seq[Long] = {
+    val sig = minhashPolyRef(toks, bands * rpb)
+    (0 until bands).map(b =>
+      (0 until rpb).foldLeft(0L)((g, r) => (g * 1000003L + sig(b * rpb + r)) % M))
+  }
+  private def simhashPolyRef(toks: Seq[String]): Long = {
+    val hs = toks.map(polyRef)
+    (0 until 30).foldLeft(0L) { (acc, b) =>
+      if (2 * hs.count(h => ((h >> b) & 1L) == 1L) > hs.size) acc | (1L << b) else acc
+    }
+  }
+
+  test("poly sketches: native expressions == independent Scala reimplementation") {
+    val arrays = tokenArrays(200)
+    val rows = arrays.toDF("toks").select(
+      Dedup.minhashPolyBuckets(col("toks"), 8, 4).as("bk"),
+      Dedup.simhashPolyCol(col("toks")).as("sh"))
+      .as[(Seq[Long], Long)].collect()
+    rows.zip(arrays).zipWithIndex.foreach { case (((bk, sh), toks), i) =>
+      assert(bk == bucketsRef(toks, 8, 4), s"poly buckets diverge on row $i")
+      assert(sh == simhashPolyRef(toks), s"poly simhash diverges on row $i")
+      assert(sh >= 0L && sh < (1L << 30), s"poly simhash out of 30-bit range on row $i")
+    }
+  }
+
   test("dot product: native expression == HOF twin bit-for-bit") {
     val rnd = new scala.util.Random(23)
     val pairs = (0 until 200).map { _ =>

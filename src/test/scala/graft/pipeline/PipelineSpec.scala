@@ -90,33 +90,42 @@ class PipelineSpec extends AnyFunSuite {
     val fullDir = Files.createTempDirectory("graft-full").toString
     val fullSummary = ExtractionJob.runResumable(spark, docs, fullDir, cfg)
     assert(fullSummary.docs == 50)
-    val fullOut = ExtractionJob.readOutput(spark, fullDir).collect()
+    val fullOut = ExtractionJob.readOutput(spark, fullDir, "r1").collect()
       .map(d => d.doc_id -> d.spans).toMap
 
     // simulate a run killed after some partitions committed: copy the
-    // data+marks of a subset of pids into a fresh output dir
+    // data+marks of a subset of pids into a fresh output dir (data
+    // nested per run_id, mirroring the checkpoint layout)
     val resumeDir = Files.createTempDirectory("graft-resume").toString
-    Files.createDirectories(Paths.get(s"$resumeDir/data"))
+    Files.createDirectories(Paths.get(ExtractionJob.dataDir(resumeDir, "r1")))
     val store = new CheckpointStore(s"$fullDir/checkpoint")
     val preDone = store.rows("r1").take(3)
     val resumeStore = new CheckpointStore(s"$resumeDir/checkpoint")
     preDone.foreach { row =>
-      Files.copy(Paths.get(s"$fullDir/data/pid=${row.partition_id}.jsonl"),
-        Paths.get(s"$resumeDir/data/pid=${row.partition_id}.jsonl"))
+      Files.copy(
+        Paths.get(ExtractionJob.dataDir(fullDir, "r1"), s"pid=${row.partition_id}.jsonl"),
+        Paths.get(ExtractionJob.dataDir(resumeDir, "r1"), s"pid=${row.partition_id}.jsonl"))
       resumeStore.markCompleted(row)
     }
 
     val resumeSummary = ExtractionJob.runResumable(spark, docs, resumeDir, cfg)
     assert(resumeSummary.skippedPartitions == 3, s"skipped=${resumeSummary.skippedPartitions}")
     assert(resumeSummary.docs == 50) // lineage covers all docs exactly once
-    val resumedOut = ExtractionJob.readOutput(spark, resumeDir).collect()
+    val resumedOut = ExtractionJob.readOutput(spark, resumeDir, "r1").collect()
       .map(d => d.doc_id -> d.spans).toMap
     assert(resumedOut == fullOut)
 
     // idempotent re-run: everything skipped, nothing reprocessed
     val again = ExtractionJob.runResumable(spark, docs, resumeDir, cfg)
     assert(again.processedPartitions == 0)
-    assert(ExtractionJob.readOutput(spark, resumeDir).count() == 50)
+    assert(ExtractionJob.readOutput(spark, resumeDir, "r1").count() == 50)
+
+    // a SECOND run id in the same outDir must not clobber r1's data
+    val r2 = ExtractionJob.runResumable(spark, docs, resumeDir, cfg.copy(runId = "r2"))
+    assert(r2.docs == 50)
+    assert(ExtractionJob.readOutput(spark, resumeDir, "r1").collect()
+      .map(d => d.doc_id -> d.spans).toMap == fullOut,
+      "run r2 clobbered r1's committed data")
   }
 
   test("kill-resume: a mid-run failure commits only finished partitions; rerun completes identically") {
@@ -151,7 +160,7 @@ class PipelineSpec extends AnyFunSuite {
     val summary = ExtractionJob.runResumable(spark, docs, dir, cfg)
     assert(summary.skippedPartitions == committed.size)
     assert(summary.docs == 60)
-    val out = ExtractionJob.readOutput(spark, dir).collect().map(d => d.doc_id -> d.spans).toMap
+    val out = ExtractionJob.readOutput(spark, dir, "kill1").collect().map(d => d.doc_id -> d.spans).toMap
     assert(out.size == 60)
     docs.collect().foreach { in =>
       assert(out(in.doc_id) == DocGen.expectedSpans(in), s"doc ${in.doc_id}")

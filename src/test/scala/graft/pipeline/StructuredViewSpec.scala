@@ -16,7 +16,15 @@ class StructuredViewSpec extends AnyFunSuite {
     val docs = DocGen.synthetic(spark, nDocs = 12, seed = 5L)
     val sv = StructuredView.build(ExtractionJob.extract(spark, docs).toDF)
     val schema = sv.schema
-    assert(schema.fieldNames.toSeq == Seq("doc_id", "metadata", "processing_info", "content"))
+    assert(schema.fieldNames.toSeq ==
+      Seq("doc_id", "metadata", "document_info", "processing_info", "content"))
+    // document_info: field-for-field with smart-structured.py:141-149;
+    // all nullable strings (the span model carries no PDF metadata, so
+    // every value is null — the reference's no-metadata case)
+    val docInfo = schema("document_info").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(docInfo.fieldNames.toSeq == Seq("title", "author", "subject", "creator",
+      "producer", "creation_date", "modification_date"))
+    assert(docInfo.fields.forall(f => f.dataType == org.apache.spark.sql.types.StringType))
     val content = schema("content").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(content.fieldNames.toSeq == Seq("full_text", "pages", "summary", "document_analysis"))
     val page = content("pages").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
@@ -41,11 +49,13 @@ class StructuredViewSpec extends AnyFunSuite {
       val meta = r.getStruct(1)
       assert(meta.getString(0) == in.doc_id + ".pdf")
       assert(meta.getInt(1) == in.spans.size)
-      val proc = r.getStruct(2)
+      val docInfo = r.getStruct(2)
+      assert((0 until 7).forall(docInfo.isNullAt), "document_info fields must all be null")
+      val proc = r.getStruct(3)
       assert(proc.getInt(1) == in.spans.count(_.kind == "image"), "ocr_pages")
       assert(proc.getInt(2) == in.spans.count(_.kind == "text"), "direct_pages")
       assert(proc.getString(4).endsWith(" failed"))
-      val content = r.getStruct(3)
+      val content = r.getStruct(4)
       assert(content.getString(0) == fullText, "full_text")
       val pages = content.getSeq[Row](1)
       assert(pages.size == in.spans.size)
