@@ -424,6 +424,27 @@ object SparkEntry {
       }.toDF("doc_id", "n_frames", "n_sampled", "width", "height")
     }),
 
+    // Multimodal: PNG media path end-to-end — render -> PNG encode
+    // (stored-deflate, from-scratch codec) -> magic-sniff decode ->
+    // full OCR. Same pixels as the PGM path, so the oracle states
+    // dims + recognized text identically; exercises the reference's
+    // actual page-render format (smart.py:91-96).
+    "mm_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(32, pmod(xxhash64(col("doc_id"), lit(42L)), lit(32)))
+        .mapPartitions { it =>
+          val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
+          it.map { id =>
+            val ref = graft.image.SynthMediaStore.refPng(
+              Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)),
+              Vocab.Noises(Vocab.noiseIdx1(id)), id)
+            val img = graft.image.ImageCodec.decode(graft.image.SynthMediaStore.fetch(ref))
+            (id, img.width.toLong, img.height.toLong, engine.recognize(img).text)
+          }
+        }.toDF("doc_id", "width", "height", "png_text")
+    }),
+
     // Multimodal: media metadata (decode the span images, emit dims)
     "mm_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -697,6 +718,14 @@ object SparkEntry {
           s"CAST((doc_id % 4 + 2 + 1) // 2 AS BIGINT) AS n_sampled, " +
           s"CAST(${vocabCase(s1, i => dims(i)._1.toString)} AS BIGINT) AS width, " +
           s"CAST(${vocabCase(s1, i => dims(i)._2.toString)} AS BIGINT) AS height FROM documents"
+      },
+
+      "mm_png_decode" -> {
+        def rawLine(idx: String) =
+          vocabCase(idx, i => sqlLit(Vocab.Sentences(i).replace("ـ", "")))
+        s"SELECT doc_id, CAST(${dimCase(s1, a1i, "w")} AS BIGINT) AS width, " +
+          s"CAST(${dimCase(s1, a1i, "h")} AS BIGINT) AS height, " +
+          s"${rawLine(s1)} AS png_text FROM documents"
       },
 
       "mm_media_meta" ->

@@ -17,6 +17,8 @@ trait MediaStore extends Serializable {
 }
 
 /** `synth://v1/<seed>/<angleMdeg>/<noisePpm>/<base64url(utf8 text)>`
+  * (PGM payload) or `synth://v1png/...` (same fields, PNG payload —
+  * the reference's actual page-render format, smart.py:91-96).
   *
   * The embedded text is the ground-truth page content; the OCR engine
   * never sees it — it only sees the rendered raster (the oracle
@@ -24,6 +26,7 @@ trait MediaStore extends Serializable {
   */
 object SynthMediaStore extends MediaStore {
   val Scheme = "synth://v1/"
+  val PngScheme = "synth://v1png/"
 
   def ref(text: String, angleMdeg: Int, noisePpm: Int, seed: Long): String = {
     val b64 = Base64.getUrlEncoder.withoutPadding
@@ -31,14 +34,22 @@ object SynthMediaStore extends MediaStore {
     s"$Scheme$seed/$angleMdeg/$noisePpm/$b64"
   }
 
-  final case class Parsed(seed: Long, angleMdeg: Int, noisePpm: Int, text: String)
+  /** Same render, PNG payload (exercises the PngCodec decode path). */
+  def refPng(text: String, angleMdeg: Int, noisePpm: Int, seed: Long): String = {
+    val b64 = Base64.getUrlEncoder.withoutPadding
+      .encodeToString(text.getBytes(StandardCharsets.UTF_8))
+    s"$PngScheme$seed/$angleMdeg/$noisePpm/$b64"
+  }
+
+  final case class Parsed(seed: Long, angleMdeg: Int, noisePpm: Int, text: String, png: Boolean)
 
   def parse(mediaRef: String): Parsed = {
-    require(mediaRef.startsWith(Scheme), s"unsupported media_ref: $mediaRef")
-    val parts = mediaRef.substring(Scheme.length).split("/", 4)
+    val png = mediaRef.startsWith(PngScheme)
+    require(png || mediaRef.startsWith(Scheme), s"unsupported media_ref: $mediaRef")
+    val parts = mediaRef.substring(if (png) PngScheme.length else Scheme.length).split("/", 4)
     require(parts.length == 4, s"malformed synth ref: $mediaRef")
     val text = new String(Base64.getUrlDecoder.decode(parts(3)), StandardCharsets.UTF_8)
-    Parsed(parts(0).toLong, parts(1).toInt, parts(2).toInt, text)
+    Parsed(parts(0).toLong, parts(1).toInt, parts(2).toInt, text, png)
   }
 
   /** Ground truth for oracle construction ONLY (never used by the OCR path). */
@@ -46,7 +57,8 @@ object SynthMediaStore extends MediaStore {
 
   override def fetch(mediaRef: String): Array[Byte] = {
     val p = parse(mediaRef)
+    if (p.png) PngCodec.encode(SynthRenderer.render(p.text, p.angleMdeg, p.noisePpm, p.seed))
     // one layout pass + render straight into the PGM payload
-    SynthRenderer.renderPgm(p.text, p.angleMdeg, p.noisePpm, p.seed)
+    else SynthRenderer.renderPgm(p.text, p.angleMdeg, p.noisePpm, p.seed)
   }
 }

@@ -68,11 +68,13 @@ object Similarity {
   private def planeWeight(p: Int, d: Column): Column =
     ((((lit(p.toLong * PlaneMixA) + d) * PlaneMixB) % PlaneMod).cast("double") - 500000.0) / 500000.0
 
-  /** Sign-of-projection LSH bucket: `planes`-bit signature. The
-    * projection is a SEQUENTIAL left fold in double (aggregate), so the
-    * oracle's list_reduce fold reproduces it bit-for-bit.
+  /** Sign-of-projection LSH bucket, Catalyst-HOF reference form: the
+    * projection is a SEQUENTIAL left fold in double (aggregate), so
+    * the oracle's list_reduce fold and the native kernel reproduce it
+    * bit-for-bit. Kept as the property-tested twin (SketchSpec), NOT
+    * the hot path — interpreted HOFs allocate per plane per row.
     */
-  def lshBucketCol(emb: Column, planes: Int): Column = {
+  def lshBucketColRef(emb: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
@@ -81,6 +83,12 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Native LSH bucket (primitive loop in codegen, same fold order). */
+  def lshBucketCol(emb: Column, planes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.LshBucket(ColumnBridge.expression(emb), planes))
   }
 
   /** DuckDB twin of lshBucketCol over a DOUBLE[] expression `e`.

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.image.{MediaStore, PgmCodec}
+import graft.image.{ImageCodec, MediaStore}
 import graft.model._
 import graft.ocr.{GlyphClassifier, OcrEngine}
 import graft.text.ArabicNormalizer
@@ -55,7 +55,8 @@ final class OcrStage(
         if (sp.kind == "image") {
           ocrSpans += 1
           try {
-            val img = PgmCodec.decode(store.fetch(sp.media_ref))
+            // magic-sniffing decode: the store may serve PGM or PNG
+            val img = ImageCodec.decode(store.fetch(sp.media_ref))
             val res = engine.recognize(img)
             lines += res.linesSegmented
             glyphs += res.glyphsClassified

@@ -125,6 +125,21 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh bucket: native expression == HOF twin bit-for-bit") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 200).map { _ =>
+      val d = 1 + rnd.nextInt(96)
+      Seq.fill(d)(rnd.nextFloat() * 4 - 2)
+    }
+    val rows = vecs.toDF("e").select(
+      Similarity.lshBucketCol(col("e"), 8).as("native"),
+      Similarity.lshBucketColRef(col("e"), 8).as("ref"))
+      .as[(Long, Long)].collect()
+    rows.zipWithIndex.foreach { case ((native, ref), i) =>
+      assert(native == ref, s"lsh bucket diverges on row $i: $native vs $ref")
+    }
+  }
+
   test("sketch expressions stay inside whole-stage codegen over a real scan") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(Dedup.simhashCol(Dedup.tokensCol(col("text"))).as("sh"),
