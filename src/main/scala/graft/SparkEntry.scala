@@ -424,6 +424,20 @@ object SparkEntry {
       }.toDF("doc_id", "n_frames", "n_sampled", "width", "height")
     }),
 
+    // Multimodal: deterministic nearest-neighbor resize (the
+    // cost-bounding step before per-frame inference): decode -> halve
+    // -> emit source + target dims
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val ref = graft.image.SynthMediaStore.ref(
+          Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)), 0, id)
+        val img = graft.image.ImageCodec.decode(graft.image.SynthMediaStore.fetch(ref))
+        val half = graft.image.ImageOps.resize(img, img.width / 2, img.height / 2)
+        (id, img.width.toLong, img.height.toLong, half.width.toLong, half.height.toLong)
+      }.toDF("doc_id", "width", "height", "half_width", "half_height")
+    }),
+
     // Multimodal: PNG media path end-to-end — render -> PNG encode
     // (stored-deflate, from-scratch codec) -> magic-sniff decode ->
     // full OCR. Same pixels as the PGM path, so the oracle states
@@ -719,6 +733,12 @@ object SparkEntry {
           s"CAST(${vocabCase(s1, i => dims(i)._1.toString)} AS BIGINT) AS width, " +
           s"CAST(${vocabCase(s1, i => dims(i)._2.toString)} AS BIGINT) AS height FROM documents"
       },
+
+      "mm_resize" ->
+        (s"SELECT doc_id, CAST(${dimCase(s1, a1i, "w")} AS BIGINT) AS width, " +
+          s"CAST(${dimCase(s1, a1i, "h")} AS BIGINT) AS height, " +
+          s"CAST(${dimCase(s1, a1i, "w")} // 2 AS BIGINT) AS half_width, " +
+          s"CAST(${dimCase(s1, a1i, "h")} // 2 AS BIGINT) AS half_height FROM documents"),
 
       "mm_png_decode" -> {
         def rawLine(idx: String) =

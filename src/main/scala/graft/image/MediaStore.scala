@@ -14,6 +14,16 @@ import java.util.Base64
   */
 trait MediaStore extends Serializable {
   def fetch(mediaRef: String): Array[Byte]
+
+  /** Fetch with caller-provided scratch: implementations MAY write the
+    * payload into `reuse` when it fits (and return it), eliminating
+    * the per-image payload allocation inside a task's fetch loop — the
+    * single biggest allocation on the OCR hot path, which is
+    * allocation/bandwidth-bound at high task parallelism. The returned
+    * payload is only valid until the next reuse-fetch on that scratch.
+    * Default: plain fetch (remote stores hand over network buffers).
+    */
+  def fetch(mediaRef: String, reuse: Array[Byte]): Array[Byte] = fetch(mediaRef)
 }
 
 /** `synth://v1/<seed>/<angleMdeg>/<noisePpm>/<base64url(utf8 text)>`
@@ -55,10 +65,12 @@ object SynthMediaStore extends MediaStore {
   /** Ground truth for oracle construction ONLY (never used by the OCR path). */
   def expectedText(mediaRef: String): String = parse(mediaRef).text
 
-  override def fetch(mediaRef: String): Array[Byte] = {
+  override def fetch(mediaRef: String): Array[Byte] = fetch(mediaRef, null)
+
+  override def fetch(mediaRef: String, reuse: Array[Byte]): Array[Byte] = {
     val p = parse(mediaRef)
     if (p.png) PngCodec.encode(SynthRenderer.render(p.text, p.angleMdeg, p.noisePpm, p.seed))
-    // one layout pass + render straight into the PGM payload
-    else SynthRenderer.renderPgm(p.text, p.angleMdeg, p.noisePpm, p.seed)
+    // one layout pass + render straight into the (reusable) PGM payload
+    else SynthRenderer.renderPgm(p.text, p.angleMdeg, p.noisePpm, p.seed, reuse)
   }
 }

@@ -111,11 +111,28 @@ object SynthRenderer {
     * rendered straight into the payload (the fetch hot path previously
     * ran layout() three times per page via dimensions + renderInto).
     */
-  def renderPgm(text: String, angleMdeg: Int, noisePpm: Int, seed: Long): Array[Byte] = {
+  def renderPgm(text: String, angleMdeg: Int, noisePpm: Int, seed: Long): Array[Byte] =
+    renderPgm(text, angleMdeg, noisePpm, seed, null)
+
+  /** renderPgm with caller-provided scratch: when `reuse` is large
+    * enough the payload is written into it (the PGM header makes the
+    * trailing stale bytes invisible to the decoder) — page-scale OCR
+    * at high task parallelism is allocation/bandwidth-bound, and the
+    * payload is the single biggest per-image allocation on the fetch
+    * path. A too-small scratch grows with 25% slack so a task
+    * converges to one buffer; a null scratch allocates EXACT size —
+    * plain fetch() callers (e.g. FrameCodec's concatenated payloads)
+    * depend on payloads with no trailing slack.
+    */
+  def renderPgm(text: String, angleMdeg: Int, noisePpm: Int, seed: Long,
+                reuse: Array[Byte]): Array[Byte] = {
     val l = layout(text)
     val (w, h) = dims(l, angleMdeg)
     val header = PgmCodec.headerBytes(w, h)
-    val out = new Array[Byte](header.length + w * h)
+    val needed = header.length + w * h
+    val out = if (reuse == null) new Array[Byte](needed)
+              else if (reuse.length >= needed) reuse
+              else new Array[Byte](needed + (needed >> 2))
     System.arraycopy(header, 0, out, 0, header.length)
     renderInto(l, angleMdeg, noisePpm, seed, out, header.length)
     out

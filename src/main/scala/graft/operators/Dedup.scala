@@ -117,29 +117,45 @@ object Dedup {
     banded.join(broadcast(hot), keys, "left_anti")
   }
 
-  private def lshPairsFromBanded(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+  /** Candidate pairs from a banded (doc_id, band, bucket) table,
+    * verified with ONE Jaccard per unique pair. Shape chosen for
+    * scale: the banded table is SLIM (no token arrays), so the
+    * candidate self-join shuffles three small columns; candidates
+    * dedupe on the two-long id pair BEFORE verification (a pair
+    * sharing k bands would otherwise shuffle its token arrays and pay
+    * the Jaccard k times); token arrays join back once per side.
+    */
+  private def lshPairsVerified(withToks: DataFrame, banded: DataFrame,
+                               maxBucketSize: Int): DataFrame = {
     val cold = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val a = cold.as("a"); val b = cold.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        round(jaccardCol(col("a.toks"), col("b.toks")), 6).as("jaccard"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    pairs
+      .join(withToks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(withToks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccardCol(col("toks_a"), col("toks_b")), 6).as("jaccard"))
   }
 
   def minhashLshPairs(docs: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double,
                       maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val perms = bands * rowsPerBand
-    val sig = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val banded = withToks
       .withColumn("sig", minhashSignature(col("toks"), perms))
       .where(col("sig").isNotNull) // empty-token docs sketch nothing
-    val banded = sig.select(
-      col("doc_id"), col("toks"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "bucket")))
-    lshPairsFromBanded(banded, maxBucketSize).where(col("jaccard") >= threshold)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+        }: _*)).as(Seq("band", "bucket")))
+    // withToks re-reads the raw tokens (no sketch recompute: column
+    // pruning drops sig on the verify branches)
+    lshPairsVerified(withToks, banded, maxBucketSize).where(col("jaccard") >= threshold)
   }
 
   /** Native poly band buckets (cross-engine family; one pass). */
@@ -158,11 +174,12 @@ object Dedup {
     */
   def minhashLshPairsPoly(docs: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double,
                           maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    val banded = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val banded = withToks
       .withColumn("bks", minhashPolyBuckets(col("toks"), bands, rowsPerBand))
       .where(col("bks").isNotNull)
-      .select(col("doc_id"), col("toks"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    lshPairsFromBanded(banded, maxBucketSize).where(col("jaccard") >= threshold)
+      .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    lshPairsVerified(withToks, banded, maxBucketSize).where(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash from token hashes, as Catalyst expressions: for

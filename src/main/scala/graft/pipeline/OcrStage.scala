@@ -37,6 +37,14 @@ final class OcrStage(
     */
   def newEngine(): OcrEngine = new OcrEngine(new GlyphClassifier(weights.value))
 
+  /** Per-task payload scratch (the stage closure is deserialized once
+    * per task, so this is task-local): each image span's payload is
+    * fetched into the same growing buffer instead of a fresh
+    * allocation — the fetch loop's dominant allocation, and the
+    * decoded view is consumed before the next fetch by construction.
+    */
+  @transient private var payloadScratch: Array[Byte] = _
+
   override def apply(docs: Iterator[Doc]): Iterator[ExtractedDoc] = {
     val engine = newEngine()
     docs.map(extractDoc(_, engine))
@@ -56,7 +64,9 @@ final class OcrStage(
           ocrSpans += 1
           try {
             // magic-sniffing decode: the store may serve PGM or PNG
-            val img = ImageCodec.decode(store.fetch(sp.media_ref))
+            val payload = store.fetch(sp.media_ref, payloadScratch)
+            payloadScratch = payload
+            val img = ImageCodec.decode(payload)
             val res = engine.recognize(img)
             lines += res.linesSegmented
             glyphs += res.glyphsClassified
