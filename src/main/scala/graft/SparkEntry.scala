@@ -424,6 +424,17 @@ object SparkEntry {
       }.toDF("doc_id", "n_frames", "n_sampled", "width", "height")
     }),
 
+    // Stateful-streaming twin: gap-based user sessionization — the
+    // flatMapGroupsWithState operator's batch twin (identical session
+    // boundaries via lag + cumulative sum; stream ≡ batch pinned in
+    // StreamingSpec). Custom per-key state is the §2.8 capability the
+    // watermarked windowed agg alone doesn't exercise.
+    "st_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionizeBatch(events(s, dir))
+        .select(col("user_id"),
+          unix_micros(col("session_start").cast("timestamp")).as("session_start_epoch"),
+          col("n_events"), col("total_value"))),
+
     // Multimodal: deterministic nearest-neighbor resize (the
     // cost-bounding step before per-frame inference): decode -> halve
     // -> emit source + target dims
@@ -733,6 +744,8 @@ object SparkEntry {
           s"CAST(${vocabCase(s1, i => dims(i)._1.toString)} AS BIGINT) AS width, " +
           s"CAST(${vocabCase(s1, i => dims(i)._2.toString)} AS BIGINT) AS height FROM documents"
       },
+
+      "st_sessionize" -> graft.streaming.Sessionize.batchOracleSql,
 
       "mm_resize" ->
         (s"SELECT doc_id, CAST(${dimCase(s1, a1i, "w")} AS BIGINT) AS width, " +

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based user sessionization — the custom-state streaming operator
+  * (KeyValueGroupedDataset.flatMapGroupsWithState) with an exactly
+  * equivalent batch twin:
+  *
+  *   a session = consecutive events of one user with inter-event gap
+  *   <= GapMinutes; emitted as (user_id, session_start, n_events,
+  *   total_value).
+  *
+  * Batch twin: lag + cumulative-sum session indexing over a per-user
+  * window — restatable in DuckDB, so the driver query `st_sessionize`
+  * is oracle-checked. The streaming path holds one open session per
+  * user in GroupState, closes it on a gap or event-time timeout
+  * (watermark), and is pinned against the batch twin in tests
+  * (stream-emitted sessions == batch sessions that the final watermark
+  * has passed).
+  *
+  * Scale: state per key is ONE open session (constant size), the
+  * pattern that holds at 10^12 events; the batch twin's window shuffle
+  * is one exchange keyed on user_id.
+  */
+object Sessionize {
+
+  val GapMinutes = 10
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           n_events: Long, total_value: Double)
+
+  private val GapMs = GapMinutes * 60 * 1000L
+
+  /** HALF_UP at 6 places — matches Spark's round() in the batch twin. */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Streaming sessionization over a watermarked event stream. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$GapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's close point: emit it
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start), s.n, round6(s.total)))
+          } else {
+            // micro-batch events arrive unordered within the batch
+            val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Vector.newBuilder[Session]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1, e.value)
+              else if (t - cur.lastTs <= GapMs)
+                cur = cur.copy(lastTs = t, n = cur.n + 1, total = cur.total + e.value)
+              else {
+                closed += Session(userId, new java.sql.Timestamp(cur.start), cur.n,
+                  round6(cur.total))
+                cur = SessionState(t, t, 1, e.value)
+              }
+            }
+            state.update(cur)
+            // close when the watermark passes last-event + gap
+            state.setTimeoutTimestamp(cur.lastTs + GapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch twin: identical session boundaries via lag + cumulative sum
+    * (one window shuffle on user_id). total_value rounded to 6 like
+    * every cross-engine double in the driver contract.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    // gaps compared in exact MICROSECONDS: second-truncating
+    // unix_timestamp here vs fractional epoch() in the oracle split
+    // knife-edge gaps differently (found by the driver gate)
+    // cast("timestamp"): parquet may surface ts as TIMESTAMP_NTZ, which
+    // unix_micros rejects; in the UTC driver session the cast is the
+    // identity on the wall clock, and gap DIFFERENCES are tz-invariant
+    val marked = events.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > GapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
+  }
+
+  /** DuckDB oracle of sessionizeBatch over the `events` table. */
+  def batchOracleSql: String =
+    s"""WITH m AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${GapMs * 1000L} THEN 1 ELSE 0 END AS new_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM m)
+       |SELECT user_id, epoch_us(min(ts)) AS session_start_epoch,
+       |  count(*) AS n_events, round(sum(value), 6) AS total_value
+       |FROM s GROUP BY user_id, session_idx""".stripMargin
+
+  /** Run the streaming sessionization over a parquet dir (one shot). */
+  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(EventsStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = sessionizeStream(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -59,6 +59,28 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), "OCR stage must be a narrow mapPartitions")
   }
 
+  test("lsh candidate joins: no cartesian product anywhere, hot-key anti-join broadcasts") {
+    for (q <- Seq("dd_minhash_lsh", "dd_simhash", "dd_embed_cosine_lsh", "ann_lsh_topk")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n${plan.take(800)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n${plan.take(800)}")
+    }
+    // the hot-bucket cap must be the broadcast anti-join, not a window sort
+    val mh = SparkEntry.queries("dd_minhash_lsh")(spark, sf).queryExecution.executedPlan.toString
+    assert(mh.contains("BroadcastHashJoin") && mh.contains("LeftAnti"),
+      s"hot-bucket cap is not a broadcast anti-join:\n${mh.take(1200)}")
+  }
+
+  test("sessionize batch twin: one shuffle keyed on user_id feeds both window and agg") {
+    val plan = SparkEntry.queries("st_sessionize")(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the window partitioning must be reused by the groupBy (no second
+    // full-data exchange on the same key)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"sessionize re-shuffles on the same key ($exchanges exchanges):\n${plan.take(1200)}")
+  }
+
   test("whole-stage codegen covers the normalization path") {
     val plan = SparkEntry.queries("t2_normalize_basic")(spark, sf)
       .queryExecution.executedPlan.toString

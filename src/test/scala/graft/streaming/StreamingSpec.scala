@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.pipeline.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stateful streaming (flatMapGroupsWithState sessionization): the
+  * stream must emit exactly the sessions its batch twin computes, for
+  * every session the final watermark has passed. Events are laid out
+  * one-user-per-file so per-user order is established within a single
+  * micro-batch (the bounded-lateness assumption session windows make),
+  * while the watermark advances across files.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("sessionize: stream (custom state + event-time timeout) == batch twin for watermark-closed sessions") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, offMin: Double, value: Double) =
+      Sessionize.Event(id, new java.sql.Timestamp(base + user * 3600000L + (offMin * 60000).toLong),
+        user, "click", value)
+
+    // per user: 3 sessions (gaps of 17 and 18 minutes between them)
+    val users = 0L until 10L
+    val events = users.flatMap { u =>
+      Seq(
+        ev(u * 100 + 1, u, 0, 1.25), ev(u * 100 + 2, u, 1, 2.5), ev(u * 100 + 3, u, 2, 0.125),
+        ev(u * 100 + 4, u, 20, 4.75), ev(u * 100 + 5, u, 21, 0.5),
+        ev(u * 100 + 6, u, 40, 3.125))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    users.foreach { u =>
+      events.filter(_.user_id == u).toDF()
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), lit("").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+
+    val got = Sessionize.runOnce(spark, dir, s"sess_${System.nanoTime()}")
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("start_epoch"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val batch = Sessionize.sessionizeBatch(
+        spark.read.schema(EventsStream.eventsSchema).parquet(dir))
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("start_epoch"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    assert(batch.size == 30, s"batch twin must see 3 sessions x 10 users, got ${batch.size}")
+    // final watermark = maxTs - gap; only sessions it passed must emit.
+    // maxTs is user 9's last event; sessions still open at watermark:
+    // exactly the last session of the latest users
+    val maxTs = events.map(_.ts.getTime).max
+    val finalWatermark = maxTs - Sessionize.GapMinutes * 60000L
+    val expected = batch.filter { case (u, startEpoch, n, _) =>
+      // session end = last event ts; reconstruct from the fixture
+      val end = events.filter(e => e.user_id == u &&
+        e.ts.getTime >= startEpoch * 1000L).map(_.ts.getTime)
+        .filter(_ <= startEpoch * 1000L + 5 * 60000L).max
+      end + Sessionize.GapMinutes * 60000L < finalWatermark
+    }
+    assert(got.subsetOf(batch), s"stream emitted sessions unknown to the batch twin: ${got -- batch}")
+    assert(expected.subsetOf(got),
+      s"watermark-closed sessions missing from the stream: ${expected -- got}")
+  }
+}
