@@ -1,0 +1,89 @@
+package graft.cli
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: large-corpus smoke for the dedup/ANN family — do the
+  * bucket-blocked paths stay candidate-bounded (linear-ish wall time,
+  * bounded heap) at 100x the driver-corpus scale, including planted
+  * duplicates and a hot (degenerate) key cluster?
+  *
+  * Synthesizes n docs of ~40 tokens from a 5,000-word vocabulary, with
+  * 1% planted near-dups and 0.2% IDENTICAL docs (the hot-bucket case
+  * the cap must absorb), plus n 64-dim embeddings in 256 clusters.
+  */
+object SketchSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 100000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("en").as("lang"),
+      // deterministic ~40-token docs; every 100th is a near-dup of its
+      // predecessor (shares 39 of 40 tokens); every 500th IDENTICAL to
+      // doc 0 (hot digest + hot minhash buckets)
+      when(col("id") % 500 === 42, docText(0, 0))
+        .when(col("id") % 100 === 43, docTextShifted())
+        .otherwise(docText(0, 1)).as("text"))
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val rt = Runtime.getRuntime
+      println(f"[sketch-smoke] $name%-22s n=$n rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        f"heap_used_mb=${(rt.totalMemory - rt.freeMemory) / 1024 / 1024}")
+    }
+
+    timed("exact_groups") { Dedup.exactGroups(docs).where(col("n_docs") > 1).count() }
+    timed("minhash_lsh_poly") {
+      Dedup.minhashLshPairsPoly(docs, bands = 8, rowsPerBand = 4, threshold = 0.8).count()
+    }
+    timed("simhash_poly") { Dedup.simhashPairsPoly(docs, maxHamming = 4).count() }
+
+    // cast to array<float>: Spark's / promotes to double, but the
+    // embedding contract (like the driver table) is float32
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => (pmod(xxhash64(col("id") % 256, d), lit(1000)).cast("float") - 500f) / 500f +
+          (pmod(xxhash64(col("id"), d, lit(7)), lit(100)).cast("float") - 50f) / 2000f)
+        .cast("array<float>").as("embedding"))
+    timed("embed_cosine_lsh") {
+      Similarity.embedCosineLshPairs(emb, planes = 12, threshold = 0.95).count()
+    }
+    timed("ann_lsh_multiprobe") {
+      Similarity.annLshTopK(emb, emb.where(col("vec_id") < 32), k = 10,
+        planes = 12, probeBits = 1).count()
+    }
+    timed("ann_ivf") {
+      Similarity.annIvfTopK(emb, emb.where(col("vec_id") < 32), k = 10,
+        nCells = 64, nProbe = 8).count()
+    }
+    spark.stop()
+  }
+
+  /** ~40 deterministic tokens from a 5k vocab, parameterized so docs
+    * differ (mix=1) or repeat exactly (mix=0 pins every token draw).
+    */
+  private def docText(base: Long, mix: Int) = {
+    val toks = (0 until 40).map { j =>
+      concat(lit("w"), pmod(xxhash64(lit(base) + col("id") * mix, lit(j)), lit(5000)))
+    }
+    concat_ws(" ", toks: _*)
+  }
+
+  /** Near-dup of the PREVIOUS doc: same 40 draws keyed off id-1, one
+    * token replaced.
+    */
+  private def docTextShifted() = {
+    val toks = (0 until 39).map { j =>
+      concat(lit("w"), pmod(xxhash64(col("id") - 1, lit(j)), lit(5000)))
+    } :+ lit("changed")
+    concat_ws(" ", toks: _*)
+  }
+}

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 object DotKernel {
   /** Left-fold sum of elementwise products in double — the same
@@ -35,9 +36,18 @@ object DotKernel {
   * DIMENSION MISMATCH still fails fast — mixed-dimension embeddings
   * are corrupt input, and the twin's silent null would mask that.
   */
-case class DotProductF32(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
+  // float32 contract enforced at analysis time (see LshBucket)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<float>, got ($l, $r)")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotKernel.dotF32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

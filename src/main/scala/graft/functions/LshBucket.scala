@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 object LshBucketKernel {
   // The cross-engine hyperplane family (Similarity.planeWeight / the
@@ -49,6 +50,12 @@ object LshBucketKernel {
 case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
+  // float32 contract, enforced at ANALYSIS time: a double array would
+  // otherwise surface as a runtime ClassCastException deep in a task
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $other")
+  }
 
   override protected def nullSafeEval(emb: Any): Any =
     LshBucketKernel.bucket(emb.asInstanceOf[ArrayData], planes)

@@ -186,14 +186,36 @@ object Similarity {
       sequence(lit(0), lit(centroids.length - 1)),
       (d, i) => call_function("named_struct", lit("d"), d, lit("cell"), i))
 
-  /** Nearest-centroid cell id (argmin via struct array_min). */
-  def ivfCellCol(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
+  /** Nearest-centroid cell id, Catalyst-HOF reference form (argmin via
+    * struct array_min) — the property-tested twin of the native
+    * expression below, NOT the hot path.
+    */
+  def ivfCellColRef(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
     array_min(cellStructsCol(emb, centroids)).getField("cell")
 
-  /** The `nProbe` nearest cells for a query vector. */
-  def ivfProbeCellsCol(emb: Column, centroids: Array[(Int, Array[Double])], nProbe: Int): Column =
+  /** The `nProbe` nearest cells, HOF reference form (twin). */
+  def ivfProbeCellsColRef(emb: Column, centroids: Array[(Int, Array[Double])], nProbe: Int): Column =
     transform(slice(array_sort(cellStructsCol(emb, centroids)), 1, nProbe),
       s => s.getField("cell"))
+
+  private def centroidMatrix(centroids: Array[(Int, Array[Double])]): Seq[Seq[Double]] =
+    centroids.sortBy(_._1).map(_._2.toSeq).toSeq
+
+  /** Native probe-cell assignment (primitive codegen loop over a
+    * reference-object centroid matrix; same distance fold and
+    * (distance, cell) tie-break as the HOF twin). The corpus
+    * assignment pass — the part that scales with corpus size — runs
+    * through this.
+    */
+  def ivfProbeCellsCol(emb: Column, centroids: Array[(Int, Array[Double])], nProbe: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.IvfProbeCells(
+      ColumnBridge.expression(emb), centroidMatrix(centroids), nProbe))
+  }
+
+  /** Nearest-centroid cell id (native). */
+  def ivfCellCol(emb: Column, centroids: Array[(Int, Array[Double])]): Column =
+    element_at(ivfProbeCellsCol(emb, centroids, 1), 1)
 
   /** Max sample collected to the driver for centroid training. */
   val KMeansSampleCap = 16384

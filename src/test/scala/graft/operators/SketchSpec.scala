@@ -140,6 +140,22 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf probe cells: native expression == HOF twin for 1, 3 and all probes") {
+    val rnd = new scala.util.Random(37)
+    val dim = 16
+    val cents = Array.tabulate(12)(i => (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val vecs = (0 until 150).map(_ => Seq.fill(dim)(rnd.nextFloat() * 2 - 2e-1f))
+    for (nProbe <- Seq(1, 3, 12)) {
+      val rows = vecs.toDF("e").select(
+        Similarity.ivfProbeCellsCol(col("e"), cents, nProbe).as("native"),
+        Similarity.ivfProbeCellsColRef(col("e"), cents, nProbe).as("ref"))
+        .as[(Seq[Int], Seq[Int])].collect()
+      rows.zipWithIndex.foreach { case ((native, ref), i) =>
+        assert(native == ref, s"probe cells diverge (nProbe=$nProbe) on row $i: $native vs $ref")
+      }
+    }
+  }
+
   test("sketch expressions stay inside whole-stage codegen over a real scan") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(Dedup.simhashCol(Dedup.tokensCol(col("text"))).as("sh"),
