@@ -149,19 +149,24 @@ object SynthRenderer {
     val img = new GrayImage(w, h, buf, off)
     // background jitter: one RNG mix yields 8 pixels (the per-pixel mix
     // was half the render cost; modulo bias over a 46-value range from
-    // 8-bit lanes is <0.4% and irrelevant to the bimodal histogram)
+    // 8-bit lanes is <0.4% and irrelevant to the bimodal histogram).
+    // SWAR: each byte lane maps b -> BgLo + ((b * bgRange) >>> 8),
+    // BIT-IDENTICAL to the per-byte loop (lane products fit 16 bits:
+    // 255*46 < 2^16; lane sums stay < 256, so no carries cross lanes)
     val bgRange = BgHi - BgLo + 1
+    val laneMask = 0x00ff00ff00ff00ffL
+    val laneBg = BgLo.toLong * 0x0001000100010001L
+    // little-endian long view: 8 jittered pixels per store (the fill
+    // is the largest single memory-write pass of a render, and page
+    // OCR is bandwidth-bound at high parallelism)
+    val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = img.offset
     val end = img.offset + img.size
     while (i + 8 <= end) {
-      var v = rng.nextLong()
-      var k = 0
-      while (k < 8) {
-        // multiply-shift range map (no division): byte * range >> 8
-        img.pixels(i + k) = (BgLo + (((v & 0xffL).toInt * bgRange) >>> 8)).toByte
-        v >>>= 8
-        k += 1
-      }
+      val v = rng.nextLong()
+      val even = ((((v & laneMask) * bgRange) >>> 8) & laneMask) + laneBg
+      val odd = (((((v >>> 8) & laneMask) * bgRange) >>> 8) & laneMask) + laneBg
+      bb.putLong(i, even | (odd << 8))
       i += 8
     }
     while (i < end) {

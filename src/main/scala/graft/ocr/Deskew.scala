@@ -48,6 +48,11 @@ object Deskew {
     val shiftX = new Array[Int](bin.width) // reused across angles
     val wpr = bin.wordsPerRow
 
+    // NOTE: the score must NOT sample source rows (tried and
+    // reverted): unshearing mixes row parities at nonzero angles but
+    // not at zero, so sampling halves angle-0's occupied count while
+    // leaving the true angle's intact — systematically misranking
+    // toward zero skew.
     def score(a: Int): (Int, Int, Long) = {
       java.util.Arrays.fill(rows, 0)
       // per-column shift lookup: one tan() per angle, not per pixel
