@@ -368,16 +368,20 @@ object SparkEntry {
     }),
 
     // Evaluation envelope (ocr_evaluation.py:102-126): the per-run
-    // record {backend_name, pdf_path, pages_processed, success}
-    // surfaced per document from the extraction output (deterministic
-    // fields only; evaluation_time/timestamp are nondeterministic and
-    // live in the lineage table instead)
+    // record {backend_name, pdf_path, pages_processed, success} plus
+    // the extracted word count the per-backend metrics derive their
+    // words/sec from (tesseract_backend.py:220-223), surfaced per
+    // document from the extraction output (deterministic fields only;
+    // evaluation_time/timestamp are nondeterministic and live in the
+    // lineage table instead)
     "eval_envelope" -> ((s, dir) =>
       ExtractionJob.extract(s, DocGen.fromDriverDocs(s, dir)).toDF
         .select(col("doc_id"),
           lit("graft").as("backend_name"),
           concat(col("doc_id"), lit(".pdf")).as("pdf_path"),
           size(col("spans")).cast("long").as("pages_processed"),
+          TS.wsTokenCountCol(concat_ws(" ",
+            transform(col("spans"), sp => sp.getField("text")))).cast("long").as("total_words"),
           (col("metrics.failed_spans") === 0 && col("error").isNull).as("success"))),
 
     // OCR-quality gate: keep documents whose pooled glyph confidence
@@ -653,10 +657,15 @@ object SparkEntry {
           s"UNION ALL SELECT doc_id, 1.01, 0, '' FROM documents"
       },
 
-      "eval_envelope" ->
-        ("SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 'graft' AS backend_name, " +
+      "eval_envelope" -> {
+        val joined = s"(substr(text, 1, 120) || ' ' || ${vocabCase(s1, i => sqlLit(normVocab(i)))} " +
+          s"|| ' ' || ${vocabCase(s2, i => sqlLit(normVocab(i)))})"
+        "SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 'graft' AS backend_name, " +
           "'doc-' || CAST(doc_id AS VARCHAR) || '.pdf' AS pdf_path, " +
-          "CAST(3 AS BIGINT) AS pages_processed, TRUE AS success FROM documents"),
+          s"CAST(3 AS BIGINT) AS pages_processed, " +
+          s"CAST(${TS.wsTokenCountSql(joined)} AS BIGINT) AS total_words, " +
+          "TRUE AS success FROM documents"
+      },
 
       "dd_embed_cosine" ->
         ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
