@@ -214,6 +214,15 @@ object SparkEntry {
     "dd_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), idWindow = 25, threshold = 0.8)),
 
+    // Dedup: near-dup CLUSTER resolution — connected components over
+    // the windowed-Jaccard candidate pairs, every member labeled with
+    // its component's smallest doc id (keep = label == doc_id). The
+    // oracle recomputes reachability with a recursive CTE.
+    "dd_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(
+          Dedup.jaccardPairs(docs(s, dir), idWindow = 25, threshold = 0.8))
+        .select(col("id"), col("label"))),
+
     // Dedup: MinHash-LSH candidate pairs over the cross-engine poly
     // hash family — the FULL shingle->minhash->band->bucket->verify
     // pipeline is oracle-checked in DuckDB (the xxhash64 variant stays
@@ -262,6 +271,21 @@ object SparkEntry {
       val emb = embeddings(s, dir)
       Similarity.annLshTopK(emb, emb.where(col("vec_id") < 8), k = 3, planes = 8, probeBits = 1)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rank"))
+    }),
+
+    // Training-corpus filter: the composed keep/drop decision a data
+    // pipeline runs before training — quality floor + language gate +
+    // exact-dedup keeper (keep the smallest doc_id per digest), one
+    // aggregation + one broadcast-able semi-join over the stats scan
+    "tp_corpus_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = Dedup.exactGroups(d).select(col("keep_id").as("doc_id"))
+      d.select(col("doc_id"),
+          TS.qualityScoreCol(col("text")).as("quality"),
+          TS.langIdCol(col("text")).as("lang_pred"))
+        .where(col("quality") >= 0.5 && col("lang_pred") === "en")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("quality"))
     }),
 
     // Text analysis: token counts, quality score, language ID, fingerprint
@@ -621,6 +645,16 @@ object SparkEntry {
           "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25 " +
           "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8"),
 
+      "dd_components" -> {
+        // edge list = the dd_jaccard_pairs oracle, ids only
+        val pairs =
+          "WITH t AS (SELECT doc_id, lang, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM documents) " +
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+            "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25 " +
+            "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8"
+        Dedup.componentsOracleSql(pairs)
+      },
+
       // poly-hash sketch pipelines: oracles generated from the same
       // constants as the operators (Dedup/Similarity *.OracleSql)
       "dd_minhash_lsh" -> Dedup.minhashLshOracleSql(bands = 8, rowsPerBand = 4, threshold = 0.8),
@@ -682,6 +716,12 @@ object SparkEntry {
           "FROM q JOIN c ON vec_id <> query_id), " +
           "r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank FROM s) " +
           "SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 3"),
+
+      "tp_corpus_filter" ->
+        (s"WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) " +
+          s"SELECT d.doc_id, ${TS.qualityScoreSql("d.text")} AS quality FROM documents d " +
+          s"WHERE ${TS.qualityScoreSql("d.text")} >= 0.5 AND ${TS.langIdSql("d.text")} = 'en' " +
+          s"AND d.doc_id IN (SELECT doc_id FROM keepers)"),
 
       "ta_text_stats" ->
         (s"SELECT doc_id, CAST(${TS.tokenCountSql("text")} AS BIGINT) AS bpe_tokens, " +

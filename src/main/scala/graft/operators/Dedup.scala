@@ -261,6 +261,64 @@ object Dedup {
     simhashPairsFromBlocked(blocked, maxHamming, maxBucketSize)
   }
 
+  /** Near-duplicate CLUSTER resolution: connected components over a
+    * candidate-pair edge list (id_a < id_b), labeling every member
+    * with the smallest doc id of its component — the step that turns
+    * pair output into a keep/drop decision (keep = label == doc_id).
+    *
+    * Algorithm: iterative min-label propagation (the standard
+    * large-graph approach when the component diameter is small, as
+    * near-dup clusters are): each round every node takes the min of
+    * its own label and its neighbors' labels; stop when a round
+    * changes nothing. Each round is two shuffles (join + groupBy) over
+    * the EDGE list only — no adjacency materialization — and the
+    * round count is bounded by the component diameter, not corpus
+    * size. The driver-side loop holds only per-round change COUNTS.
+    */
+  def nearDupComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("lo"), col("id_b").as("hi"))
+    val nodes = edges.select(col("lo").as("id"))
+      .union(edges.select(col("hi").as("id"))).distinct()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // labels flowing both directions along each edge
+      val viaLo = edges.join(labels.withColumnRenamed("id", "lo"), "lo")
+        .select(col("hi").as("id"), col("label"))
+      val viaHi = edges.join(labels.withColumnRenamed("id", "hi"), "hi")
+        .select(col("lo").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaLo).union(viaHi)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // convergence = no label changed this round. localCheckpoint
+      // truncates the otherwise exponentially growing plan lineage.
+      val nextMat = next.localCheckpoint(true)
+      val changed = nextMat.as("n").join(labels.as("p"), Seq("id"))
+        .where(col("n.label") =!= col("p.label")).limit(1).count()
+      labels = nextMat
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /** DuckDB oracle of nearDupComponents: min reachable id per node via
+    * a recursive CTE (UNION dedupes, so the recursion is finite).
+    * `pairsSql` must yield (id_a, id_b) with id_a < id_b.
+    */
+  def componentsOracleSql(pairsSql: String): String =
+    // one recursive self-reference (DuckDB's requirement): edges are
+    // made bidirectional first, then labels flow along directed edges
+    s"""WITH RECURSIVE edges AS ($pairsSql),
+       |dedges AS (SELECT id_a AS u, id_b AS v FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+       |nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT d.v, r.lbl FROM reach r JOIN dedges d ON d.u = r.id)
+       |SELECT id, min(lbl) AS label FROM reach GROUP BY id""".stripMargin
+
   // ---- DuckDB oracle SQL for the poly pipelines ---------------------------
   //
   // Generated from the SAME constants as the Spark path (PolyM, permA/

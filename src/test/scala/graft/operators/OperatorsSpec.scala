@@ -57,6 +57,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.exists(_._3 == 0), s"exact dup hamming: $exact")
   }
 
+  test("near-dup components: min-label propagation resolves chains and singleton pairs") {
+    // a 12-node path (worst diameter case), two small clusters, and an
+    // isolated pair
+    val chain = (30L until 41L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val labels = Dedup.nearDupComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+    assert((30L to 41L).forall(labels(_) == 30L), s"chain labels: ${(30L to 41L).map(labels)}")
+    assert(labels.size == 20)
+  }
+
   test("poly minhash-lsh / poly simhash: planted dups recovered; whitespace-only docs never pair") {
     val withEmpty = corpus().union(Seq(
       (300L, "   ", "en"), (301L, " \t ", "en")).toDF("doc_id", "text", "lang"))
