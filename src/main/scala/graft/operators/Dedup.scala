@@ -104,17 +104,21 @@ object Dedup {
   val MaxBucketSize = 64
 
   /** Drop members of over-populated (band, bucket) groups. Implemented
-    * as a groupBy-count + BROADCAST ANTI-JOIN of the hot keys: hot
-    * buckets are few by definition (each holds > maxBucketSize rows,
-    * so at most n/maxBucketSize keys exist), where the previous
-    * window-count form paid a full sort per bucket partition.
+    * as a groupBy-count + anti-join of the hot keys (replacing a
+    * window count, which paid a full sort per bucket partition). The
+    * join strategy is deliberately left to AQE: hot keys are normally
+    * few (each holds > maxBucketSize rows, so at most n/maxBucketSize
+    * exist) and AQE broadcasts them at runtime — but an adversarially
+    * self-similar corpus can make MOST buckets hot, and a forced
+    * broadcast() of ~n/bands keys would kill the job where a shuffled
+    * anti-join degrades gracefully.
     */
   private def dropHotBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
     val hot = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucketSize)
       .select(keys.map(col): _*)
-    banded.join(broadcast(hot), keys, "left_anti")
+    banded.join(hot, keys, "left_anti")
   }
 
   /** Candidate pairs from a banded (doc_id, band, bucket) table,

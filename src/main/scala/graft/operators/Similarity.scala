@@ -134,12 +134,13 @@ object Similarity {
     val t = embeddings.select(col("vec_id"), col("embedding"),
       normCol(col("embedding")).as("nrm"),
       lshBucketCol(col("embedding"), planes).as("bucket"))
-    // hot-bucket cap as a groupBy-count + broadcast anti-join (hot keys
-    // are few by definition) — cheaper at scale than a per-bucket
-    // window sort; same rationale as Dedup.dropHotBuckets
+    // hot-bucket cap as a groupBy-count + anti-join; join strategy
+    // left to AQE (broadcast when hot keys are few — the normal case —
+    // graceful shuffle when an adversarial corpus makes most buckets
+    // hot); same rationale as Dedup.dropHotBuckets
     val hot = t.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucketSize).select(col("bucket"))
-    val cold = t.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val cold = t.join(hot, Seq("bucket"), "left_anti")
     val a = cold.as("a"); val b = cold.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -66,10 +66,16 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$q plans a nested-loop join:\n${plan.take(800)}")
     }
-    // the hot-bucket cap must be the broadcast anti-join, not a window sort
-    val mh = SparkEntry.queries("dd_minhash_lsh")(spark, sf).queryExecution.executedPlan.toString
-    assert(mh.contains("BroadcastHashJoin") && mh.contains("LeftAnti"),
-      s"hot-bucket cap is not a broadcast anti-join:\n${mh.take(1200)}")
+    // the hot-bucket cap must be an anti-join (not a window sort), and
+    // AQE must pick broadcast for the (tiny) hot-key side at runtime —
+    // inspect the FINAL adaptive plan, after execution
+    val df = SparkEntry.queries("dd_minhash_lsh")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val mh = df.queryExecution.executedPlan.toString
+    assert(mh.contains("LeftAnti"), s"hot-bucket cap is not an anti-join:\n${mh.take(1200)}")
+    assert(mh.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the hot-key side:\n${mh.take(1200)}")
+    assert(!mh.contains("WindowExec"), "hot-bucket cap regressed to a window count")
   }
 
   test("sessionize batch twin: one shuffle keyed on user_id feeds both window and agg") {
