@@ -123,6 +123,9 @@ object PngCodec {
       i += 12 + len
     }
     require(sawIhdr, "missing IHDR")
+    // hostile-header guard BEFORE allocation: 65535x65535 would
+    // overflow (w+1)*h to a negative array size
+    require(w > 0 && h > 0 && (w + 1L) * h <= Int.MaxValue, s"bad PNG dimensions: $w x $h")
 
     // inflate the zlib stream into filtered scanlines
     val raw = new Array[Byte]((w + 1) * h)

@@ -96,6 +96,35 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile IHDR dimensions fail loudly before allocation") {
+    val img = randomImage(4, 4, 15L)
+    val png = PngCodec.encode(img)
+    // corrupt IHDR width to 0xFFFF0000 (chunk data starts at offset 16)
+    val bad = png.clone()
+    bad(16) = 0xff.toByte; bad(17) = 0xff.toByte; bad(18) = 0; bad(19) = 0
+    val e = intercept[IllegalArgumentException](PngCodec.decode(bad))
+    assert(e.getMessage.contains("dimensions"), e.getMessage)
+  }
+
+  test("full extraction pipeline over PNG media refs: exact span-sequence equality") {
+    val spark = graft.pipeline.SparkTestSession.spark
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      val s = graft.fixtures.Vocab.Sentences((i % graft.fixtures.Vocab.V).toInt)
+      graft.model.Doc(s"png-$i", Seq(
+        graft.model.Span("text", "direct", "", 0),
+        graft.model.Span("image", "",
+          SynthMediaStore.refPng(s, graft.fixtures.Vocab.Angles((i % 5).toInt), 3000, i), 1)))
+    }
+    val out = graft.pipeline.ExtractionJob.extract(spark, spark.createDataset(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    docs.foreach { in =>
+      val want = graft.fixtures.DocGen.expectedSpans(in)
+      assert(out(in.doc_id).spans == want, s"doc ${in.doc_id}")
+      assert(out(in.doc_id).metrics.failed_spans == 0)
+    }
+  }
+
   test("PNG media_ref: fetch -> sniff -> decode -> OCR is exact (same pixels as the PGM path)") {
     val text = "مادة 12 فقره 3 من نظام المرافعات"
     val pgmRef = SynthMediaStore.ref(text, -1250, 3000, 5L)
