@@ -376,7 +376,7 @@ object SparkEntry {
     "p3_conf_floor" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id")).as[Long]
-        .repartition(32, pmod(xxhash64(col("doc_id"), lit(42L)), lit(32)))
+        .repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
         .mapPartitions { it =>
           val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
           it.flatMap { id =>
@@ -485,7 +485,7 @@ object SparkEntry {
     "mm_png_decode" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id")).as[Long]
-        .repartition(32, pmod(xxhash64(col("doc_id"), lit(42L)), lit(32)))
+        .repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
         .mapPartitions { it =>
           val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
           it.map { id =>

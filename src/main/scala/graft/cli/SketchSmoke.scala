@@ -27,8 +27,11 @@ object SketchSmoke {
       lit("en").as("lang"),
       // deterministic ~40-token docs; every 100th is a near-dup of its
       // predecessor (shares 39 of 40 tokens); every 500th IDENTICAL to
-      // doc 0 (hot digest + hot minhash buckets)
-      when(col("id") % 500 === 42, docText(0, 0))
+      // doc 0 (hot digest + hot minhash buckets). Residues chosen
+      // DISJOINT: hot ids are 450 (mod 500) = 50 (mod 100), so a
+      // near-dup's predecessor (42 mod 100) is never rewritten to the
+      // hot text — every planted near-dup really has its partner
+      when(col("id") % 500 === 450, docText(0, 0))
         .when(col("id") % 100 === 43, docTextShifted())
         .otherwise(docText(0, 1)).as("text"))
 

@@ -30,17 +30,21 @@ object IvfKernel {
       d2(c) = acc
       c += 1
     }
-    // partial selection of the nProbe smallest (d2, cell) pairs
+    // partial selection of the nProbe smallest (d2, cell) pairs.
+    // Double.compare, not <: NaN distances (corrupt embeddings) order
+    // GREATER than every finite value and equal to each other — the
+    // same total order Spark's struct sort gives the HOF twin — where
+    // a naive < would leave best == -1 and crash on taken(-1)
     val n = math.min(nProbe, k)
     val out = new Array[Int](n)
     val taken = new Array[Boolean](k)
     var s = 0
     while (s < n) {
       var best = -1
-      var bestD = Double.MaxValue
+      var bestD = 0.0
       var i = 0
       while (i < k) {
-        if (!taken(i) && (d2(i) < bestD || (d2(i) == bestD && best >= 0 && i < best))) {
+        if (!taken(i) && (best == -1 || java.lang.Double.compare(d2(i), bestD) < 0)) {
           bestD = d2(i); best = i
         }
         i += 1

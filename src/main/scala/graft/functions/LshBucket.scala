@@ -34,7 +34,10 @@ object LshBucketKernel {
         proj += emb.getFloat(d).toDouble * w
         d += 1
       }
-      if (proj > 0) out |= (1L << p)
+      // Double.compare, not >: Catalyst's `proj > 0` orders NaN above
+      // every value (bit SET), Java's > does not — the twin contract
+      // must hold on the full input domain, not just finite embeddings
+      if (java.lang.Double.compare(proj, 0.0) > 0) out |= (1L << p)
       p += 1
     }
     out

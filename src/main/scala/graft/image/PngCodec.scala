@@ -134,7 +134,11 @@ object PngCodec {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      require(n > 0 || !inf.needsInput(), "truncated IDAT stream")
+      // ALL input was provided up front, so zero progress means a
+      // truncated or unsupported stream (e.g. FDICT preset dictionary:
+      // inflate() returns 0 with needsDictionary() set, and a naive
+      // needsInput() check would spin forever on it)
+      require(n > 0, "truncated or unsupported IDAT stream")
       got += n
     }
     inf.end()

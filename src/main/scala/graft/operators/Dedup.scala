@@ -279,7 +279,7 @@ object Dedup {
     * round count is bounded by the component diameter, not corpus
     * size. The driver-side loop holds only per-round change COUNTS.
     */
-  def nearDupComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def nearDupComponents(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
     val edges = pairs.select(col("id_a").as("lo"), col("id_b").as("hi"))
     val nodes = edges.select(col("lo").as("id"))
       .union(edges.select(col("hi").as("id"))).distinct()
@@ -304,6 +304,14 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // silent non-convergence would hand downstream keep/drop WRONG
+    // labels (multiple "representatives" per cluster); fail loudly —
+    // propagation needs diameter rounds, so maxIters bounds the
+    // component diameter the caller accepts
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupComponents did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters); raise maxIters")
     labels
   }
 

@@ -24,6 +24,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: state per key is ONE open session (constant size), the
   * pattern that holds at 10^12 events; the batch twin's window shuffle
   * is one exchange keyed on user_id.
+  *
+  * Parity contract: session BOUNDARIES and event counts are exactly
+  * equal between stream and batch (both compare gaps in exact
+  * microseconds). total_value is equal at 6 decimals up to floating
+  * re-association (the stream sums in event-time order, batch
+  * aggregation order is unspecified).
   */
 object Sessionize {
 
@@ -36,10 +42,24 @@ object Sessionize {
                            n_events: Long, total_value: Double)
 
   private val GapMs = GapMinutes * 60 * 1000L
+  private val GapUs = GapMs * 1000L
 
   /** HALF_UP at 6 places — matches Spark's round() in the batch twin. */
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact MICROSECONDS since epoch — the same precision the batch
+    * twin compares gaps in (unix_micros); Timestamp.getTime truncates
+    * to ms and would split sub-ms knife-edge gaps differently.
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
 
   /** Streaming sessionization over a watermarked event stream. */
   def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
@@ -54,26 +74,28 @@ object Sessionize {
             // watermark passed the open session's close point: emit it
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new java.sql.Timestamp(s.start), s.n, round6(s.total)))
+            Iterator.single(Session(userId, tsFromMicros(s.start), s.n, round6(s.total)))
           } else {
-            // micro-batch events arrive unordered within the batch
-            val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // micro-batch events arrive unordered within the batch;
+            // all times in exact MICROSECONDS (batch-twin parity)
+            val sorted = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Vector.newBuilder[Session]
             var cur = state.getOption.orNull
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               if (cur == null) cur = SessionState(t, t, 1, e.value)
-              else if (t - cur.lastTs <= GapMs)
+              else if (t - cur.lastTs <= GapUs)
                 cur = cur.copy(lastTs = t, n = cur.n + 1, total = cur.total + e.value)
               else {
-                closed += Session(userId, new java.sql.Timestamp(cur.start), cur.n,
-                  round6(cur.total))
+                closed += Session(userId, tsFromMicros(cur.start), cur.n, round6(cur.total))
                 cur = SessionState(t, t, 1, e.value)
               }
             }
             state.update(cur)
             // close when the watermark passes last-event + gap
-            state.setTimeoutTimestamp(cur.lastTs + GapMs)
+            // (timeout API is ms: round UP so a session never times
+            // out a fraction of a ms before its true close point)
+            state.setTimeoutTimestamp((cur.lastTs + GapUs + 999) / 1000)
             closed.result().iterator
           }
       }

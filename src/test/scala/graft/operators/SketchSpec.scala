@@ -156,6 +156,33 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("non-finite embeddings: native lsh/ivf kernels still match their HOF twins (no crash)") {
+    // corrupt upstream embeddings (NaN / Inf components) must not kill
+    // a task or silently bucket differently from the twins
+    val vecs = Seq(
+      Seq(Float.NaN, 1f, -2f, 0.5f),
+      Seq(1f, Float.PositiveInfinity, -2f, 0.5f),
+      Seq(Float.PositiveInfinity, Float.NegativeInfinity, 1f, 1f),
+      Seq(Float.NaN, Float.NaN, Float.NaN, Float.NaN),
+      Seq(0f, 0f, 0f, 0f))
+    val lsh = vecs.toDF("e").select(
+      Similarity.lshBucketCol(col("e"), 6).as("native"),
+      Similarity.lshBucketColRef(col("e"), 6).as("ref"))
+      .as[(Long, Long)].collect()
+    lsh.zipWithIndex.foreach { case ((n, r), i) =>
+      assert(n == r, s"lsh bucket diverges on non-finite row $i: $n vs $r")
+    }
+    val rnd = new scala.util.Random(41)
+    val cents = Array.tabulate(5)(i => (i, Array.fill(4)(rnd.nextDouble())))
+    val ivf = vecs.toDF("e").select(
+      Similarity.ivfProbeCellsCol(col("e"), cents, 3).as("native"),
+      Similarity.ivfProbeCellsColRef(col("e"), cents, 3).as("ref"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    ivf.zipWithIndex.foreach { case ((n, r), i) =>
+      assert(n == r, s"ivf cells diverge on non-finite row $i: $n vs $r")
+    }
+  }
+
   test("sketch expressions stay inside whole-stage codegen over a real scan") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(Dedup.simhashCol(Dedup.tokensCol(col("text"))).as("sh"),
