@@ -391,6 +391,29 @@ object SparkEntry {
         }.toDF("doc_id", "floor", "kept_lines", "kept_text")
     }),
 
+    // A3: per-page (per image span) average line confidence — on the
+    // noise-free corpus every glyph matches its template exactly, so
+    // the per-page mean is exactly 1.0 and one line exists per span
+    // (single-line layout pinned by VocabLayoutSpec)
+    "a3_page_conf" -> ((s, dir) => {
+      import s.implicits._
+      DocGen.fromDriverDocsClean(s, dir)
+        .repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
+        .as[graft.model.Doc]
+        .mapPartitions { it =>
+          val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
+          it.flatMap { d =>
+            d.spans.filter(_.kind == "image").map { sp =>
+              val img = graft.image.ImageCodec.decode(graft.image.SynthMediaStore.fetch(sp.media_ref))
+              val r = engine.recognize(img)
+              val avg = if (r.lines.isEmpty) 0.0 else r.lines.map(_.confidence).sum / r.lines.size
+              (d.doc_id, sp.offset.toLong, r.lines.size.toLong,
+                BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          }
+        }.toDF("doc_id", "offset", "n_lines", "avg_line_conf")
+    }),
+
     // Evaluation envelope (ocr_evaluation.py:102-126): the per-run
     // record {backend_name, pdf_path, pages_processed, success} plus
     // the extracted word count the per-backend metrics derive their
@@ -690,6 +713,11 @@ object SparkEntry {
           s"${rawLine(s1)} AS kept_text FROM documents " +
           s"UNION ALL SELECT doc_id, 1.01, 0, '' FROM documents"
       },
+
+      "a3_page_conf" ->
+        ("SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS BIGINT) AS offset, " +
+          "CAST(1 AS BIGINT) AS n_lines, CAST(1.0 AS DOUBLE) AS avg_line_conf FROM documents " +
+          "UNION ALL SELECT 'doc-' || CAST(doc_id AS VARCHAR), 2, 1, 1.0 FROM documents"),
 
       "eval_envelope" -> {
         val joined = s"(substr(text, 1, 120) || ' ' || ${vocabCase(s1, i => sqlLit(normVocab(i)))} " +
