@@ -13,8 +13,22 @@ object ExactSweep {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // half the image spans served as PNG (same render, different codec
+    // path): the sweep covers BOTH media formats through the full
+    // pipeline. The schemes share field layout, so a prefix swap keeps
+    // the oracle (expectedSpans parses either).
     val docs = graft.fixtures.DocGen.synthetic(spark, nDocs, seed = 4242L,
-      maxSpans = 8, imageRatio = 0.6, skewed = true, sentencesPerImage = 4)
+        maxSpans = 8, imageRatio = 0.6, skewed = true, sentencesPerImage = 4)
+      .map { d =>
+        if (d.doc_id.hashCode % 2 != 0) d
+        else d.copy(spans = d.spans.map { sp =>
+          if (sp.kind == "image")
+            sp.copy(media_ref = sp.media_ref.replaceFirst(
+              java.util.regex.Pattern.quote(graft.image.SynthMediaStore.Scheme),
+              graft.image.SynthMediaStore.PngScheme))
+          else sp
+        })
+      }
     val inputByKey = docs
     val out = graft.pipeline.ExtractionJob.extract(spark, docs)
     // recompute the oracle per doc INSIDE the job (pure function of the
