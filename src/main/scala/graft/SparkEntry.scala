@@ -197,6 +197,30 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("rn"))
     }),
 
+    // J4: classic small-dim broadcast join (the "broadcast small dims"
+    // pattern of the 100 TB design): per-nation customer account stats,
+    // nation (25 rows) broadcast against the big fact side
+    "j4_dim_join" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 6).as("total_acctbal"))
+    }),
+
+    // A14: hierarchical roll-up (lang x source with subtotals + grand
+    // total) — ROLLUP is one shuffle with partial aggregation; the
+    // grouping-id columns disambiguate subtotal rows from real nulls
+    "a14_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("total_chars"))),
+
     // J2: checkpoint/resume anti-join (broadcast hash anti-join)
     "j2_resume_antijoin" -> ((s, dir) => {
       import s.implicits._
@@ -654,6 +678,15 @@ object SparkEntry {
       "r5_page_range" ->
         ("WITH r AS (SELECT user_id, event_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rn " +
           "FROM events) SELECT user_id, event_id, rn FROM r WHERE rn <= 3"),
+
+      "j4_dim_join" ->
+        ("SELECT n.n_name, count(*) AS n_customers, round(sum(c.c_acctbal), 6) AS total_acctbal " +
+          "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"),
+
+      "a14_rollup" ->
+        ("SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, " +
+          "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+          "FROM documents GROUP BY ROLLUP(lang, source)"),
 
       "j2_resume_antijoin" ->
         "SELECT doc_id, (doc_id % 32) AS pid FROM documents WHERE (doc_id % 32) NOT IN (0, 1, 2, 3)",
