@@ -312,6 +312,17 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // Corpus vocabulary statistics: global token frequencies, top 20 —
+    // explode is map-side, the count aggregates partially before the
+    // one shuffle, and the top-k is a driver-sized TakeOrdered (no
+    // global sort materialization)
+    "ta_token_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(Dedup.tokensCol(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
     // Text analysis: token counts, quality score, language ID, fingerprint
     "ta_text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -783,6 +794,10 @@ object SparkEntry {
           s"SELECT d.doc_id, ${TS.qualityScoreSql("d.text")} AS quality FROM documents d " +
           s"WHERE ${TS.qualityScoreSql("d.text")} >= 0.5 AND ${TS.langIdSql("d.text")} = 'en' " +
           s"AND d.doc_id IN (SELECT doc_id FROM keepers)"),
+
+      "ta_token_freq" ->
+        ("WITH t AS (SELECT unnest(list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '')) AS token FROM documents) " +
+          "SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20"),
 
       "ta_text_stats" ->
         (s"SELECT doc_id, CAST(${TS.tokenCountSql("text")} AS BIGINT) AS bpe_tokens, " +
