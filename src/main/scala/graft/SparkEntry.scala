@@ -59,6 +59,24 @@ object SparkEntry {
     "[؀-ۿݐ-ݿa-zA-Z0-9\\s.,:;!?()\\-+=]"
   private val ArtifactClass = "[�□▪◦●]"
 
+  /** Shared skeleton of the per-image OCR driver queries: the SAME
+    * salted repartition as the flagship job, one engine per task,
+    * flatMap body. The input only needs a `doc_id` column (Doc rows or
+    * bare ids both work).
+    */
+  private def ocrMapPartitions[I, O: org.apache.spark.sql.Encoder](
+      ds: org.apache.spark.sql.Dataset[I])(
+      f: (I, graft.ocr.OcrEngine) => IterableOnce[O]): org.apache.spark.sql.Dataset[O] =
+    ds.repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
+      .mapPartitions { it =>
+        val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
+        it.flatMap(i => f(i, engine))
+      }
+
+  /** fetch + magic-sniff decode of one media_ref. */
+  private def fetchImage(ref: String): graft.image.GrayImage =
+    graft.image.ImageCodec.decode(graft.image.SynthMediaStore.fetch(ref))
+
   // ---- the operator inventory --------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -212,14 +230,17 @@ object SparkEntry {
 
     // A14: hierarchical roll-up (lang x source with subtotals + grand
     // total) — ROLLUP is one shuffle with partial aggregation; the
-    // grouping-id columns disambiguate subtotal rows from real nulls
+    // grouping() flags disambiguate subtotal rows from any real
+    // NULL/'ALL' values in the data
     "a14_rollup" -> ((s, dir) =>
       docs(s, dir).rollup(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("total_chars"))
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
         .select(coalesce(col("lang"), lit("ALL")).as("lang"),
           coalesce(col("source"), lit("ALL")).as("source"),
-          col("n_docs"), col("total_chars"))),
+          col("g_lang"), col("g_source"), col("n_docs"), col("total_chars"))),
 
     // J2: checkpoint/resume anti-join (broadcast hash anti-join)
     "j2_resume_antijoin" -> ((s, dir) => {
@@ -376,26 +397,18 @@ object SparkEntry {
     // O1 line-level results: the reference's `[bbox, (text, conf)]` line
     // shape (paddleocr_backend.py:63) surfaced as rows — raw recognized
     // line text per image span, exactly matching the rendered layout
+    // Salted repartition matters here: without it this fan-out
+    // inherits the parquet's few input partitions and the per-image
+    // OCR runs on a handful of cores (measured 7x slower in round 1)
     "ocr_lines" -> ((s, dir) => {
       import s.implicits._
-      // SAME salted repartition as ExtractionJob.extract: without it
-      // this fan-out inherits the parquet's few input partitions and
-      // the per-image OCR work runs on a handful of cores (measured 7x
-      // slower than the flagship in round 1)
-      DocGen.fromDriverDocs(s, dir)
-        .repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
-        .as[graft.model.Doc]
-        .mapPartitions { it =>
-          val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
-          it.flatMap { d =>
-            d.spans.filter(_.kind == "image").flatMap { sp =>
-              val img = graft.image.PgmCodec.decode(graft.image.SynthMediaStore.fetch(sp.media_ref))
-              engine.recognize(img).lines.zipWithIndex.map { case (l, j) =>
-                (d.doc_id, sp.offset.toLong, j.toLong, l.text)
-              }
-            }
+      ocrMapPartitions(DocGen.fromDriverDocs(s, dir)) { (d, engine) =>
+        d.spans.filter(_.kind == "image").flatMap { sp =>
+          engine.recognize(fetchImage(sp.media_ref)).lines.zipWithIndex.map { case (l, j) =>
+            (d.doc_id, sp.offset.toLong, j.toLong, l.text)
           }
-        }.toDF("doc_id", "offset", "line_idx", "line_text")
+        }
+      }.toDF("doc_id", "offset", "line_idx", "line_text")
     }),
 
     // P3+P4: line-confidence floor + valid-word filter as a driver
@@ -410,20 +423,14 @@ object SparkEntry {
     // blobs, so only the floor value itself discriminates exactly.)
     "p3_conf_floor" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long]
-        .repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
-        .mapPartitions { it =>
-          val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
-          it.flatMap { id =>
-            val ref = graft.image.SynthMediaStore.ref(
-              Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)), 0, id)
-            val img = graft.image.PgmCodec.decode(graft.image.SynthMediaStore.fetch(ref))
-            Seq(0.3, 1.01).map { floor =>
-              val r = engine.recognize(img, minLineConf = floor)
-              (id, floor, r.lines.size.toLong, r.text)
-            }
-          }
-        }.toDF("doc_id", "floor", "kept_lines", "kept_text")
+      ocrMapPartitions(docs(s, dir).select(col("doc_id")).as[Long]) { (id, engine) =>
+        val img = fetchImage(graft.image.SynthMediaStore.ref(
+          Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)), 0, id))
+        Seq(0.3, 1.01).map { floor =>
+          val r = engine.recognize(img, minLineConf = floor)
+          (id, floor, r.lines.size.toLong, r.text)
+        }
+      }.toDF("doc_id", "floor", "kept_lines", "kept_text")
     }),
 
     // A3: per-page (per image span) average line confidence — on the
@@ -432,21 +439,14 @@ object SparkEntry {
     // (single-line layout pinned by VocabLayoutSpec)
     "a3_page_conf" -> ((s, dir) => {
       import s.implicits._
-      DocGen.fromDriverDocsClean(s, dir)
-        .repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
-        .as[graft.model.Doc]
-        .mapPartitions { it =>
-          val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
-          it.flatMap { d =>
-            d.spans.filter(_.kind == "image").map { sp =>
-              val img = graft.image.ImageCodec.decode(graft.image.SynthMediaStore.fetch(sp.media_ref))
-              val r = engine.recognize(img)
-              val avg = if (r.lines.isEmpty) 0.0 else r.lines.map(_.confidence).sum / r.lines.size
-              (d.doc_id, sp.offset.toLong, r.lines.size.toLong,
-                BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-            }
-          }
-        }.toDF("doc_id", "offset", "n_lines", "avg_line_conf")
+      ocrMapPartitions(DocGen.fromDriverDocsClean(s, dir)) { (d, engine) =>
+        d.spans.filter(_.kind == "image").map { sp =>
+          val r = engine.recognize(fetchImage(sp.media_ref))
+          val avg = if (r.lines.isEmpty) 0.0 else r.lines.map(_.confidence).sum / r.lines.size
+          (d.doc_id, sp.offset.toLong, r.lines.size.toLong,
+            BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toDF("doc_id", "offset", "n_lines", "avg_line_conf")
     }),
 
     // Evaluation envelope (ocr_evaluation.py:102-126): the per-run
@@ -542,18 +542,12 @@ object SparkEntry {
     // actual page-render format (smart.py:91-96).
     "mm_png_decode" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long]
-        .repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
-        .mapPartitions { it =>
-          val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
-          it.map { id =>
-            val ref = graft.image.SynthMediaStore.refPng(
-              Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)),
-              Vocab.Noises(Vocab.noiseIdx1(id)), id)
-            val img = graft.image.ImageCodec.decode(graft.image.SynthMediaStore.fetch(ref))
-            (id, img.width.toLong, img.height.toLong, engine.recognize(img).text)
-          }
-        }.toDF("doc_id", "width", "height", "png_text")
+      ocrMapPartitions(docs(s, dir).select(col("doc_id")).as[Long]) { (id, engine) =>
+        val img = fetchImage(graft.image.SynthMediaStore.refPng(
+          Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)),
+          Vocab.Noises(Vocab.noiseIdx1(id)), id))
+        Iterator.single((id, img.width.toLong, img.height.toLong, engine.recognize(img).text))
+      }.toDF("doc_id", "width", "height", "png_text")
     }),
 
     // Multimodal: media metadata (decode the span images, emit dims)
@@ -696,6 +690,7 @@ object SparkEntry {
 
       "a14_rollup" ->
         ("SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, " +
+          "CAST(GROUPING(lang) AS BIGINT) AS g_lang, CAST(GROUPING(source) AS BIGINT) AS g_source, " +
           "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
           "FROM documents GROUP BY ROLLUP(lang, source)"),
 

@@ -23,9 +23,8 @@ object ExactSweep {
         if (d.doc_id.hashCode % 2 != 0) d
         else d.copy(spans = d.spans.map { sp =>
           if (sp.kind == "image")
-            sp.copy(media_ref = sp.media_ref.replaceFirst(
-              java.util.regex.Pattern.quote(graft.image.SynthMediaStore.Scheme),
-              graft.image.SynthMediaStore.PngScheme))
+            sp.copy(media_ref = graft.image.SynthMediaStore.PngScheme +
+              sp.media_ref.stripPrefix(graft.image.SynthMediaStore.Scheme))
           else sp
         })
       }
