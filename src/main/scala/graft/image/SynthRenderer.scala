@@ -177,6 +177,11 @@ object SynthRenderer {
     val yoff = math.max(0, -shiftY(angleMdeg, w - 1))
     // per-column shear lookup: one tan() per render, not per pixel
     val shiftX = Array.tabulate(w)(x => shiftY(angleMdeg, x))
+    // ink intensity jittered PER PIXEL — deliberately: per-glyph
+    // constant intensity collapses within-ink variance and lets Otsu's
+    // between-class split land INSIDE the ink cluster (observed t=74
+    // in-range), breaking the structural binarization-exactness
+    // guarantee (tried and reverted)
     @inline def put(x: Int, y: Int): Unit = {
       if (x >= 0 && x < w) {
         val yy = y + yoff + shiftX(x)
