@@ -50,6 +50,10 @@ object Bench {
       val spark = session(cpus)
       // JVM/codegen warmup outside the timed region
       force(SparkEntry.queries("ocr_extract")(spark, "/root/testdata/sf0.001"))
+      // warm the OS page cache for every input table so the first
+      // query in alphabetical order doesn't absorb the cold read
+      Seq("documents", "events", "lineitem", "embeddings", "customer", "nation")
+        .foreach(t => force(spark.read.parquet(s"$sfDir/$t.parquet")))
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
         name -> sec
