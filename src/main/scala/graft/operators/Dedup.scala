@@ -270,49 +270,103 @@ object Dedup {
     * with the smallest doc id of its component — the step that turns
     * pair output into a keep/drop decision (keep = label == doc_id).
     *
-    * Algorithm: iterative min-label propagation (the standard
-    * large-graph approach when the component diameter is small, as
-    * near-dup clusters are): each round every node takes the min of
-    * its own label and its neighbors' labels; stop when a round
-    * changes nothing. Each round is two shuffles (join + groupBy) over
-    * the EDGE list only — no adjacency materialization — and the
-    * round count is bounded by the component diameter, not corpus
-    * size. The driver-side loop holds only per-round change COUNTS.
+    * Algorithm: ALTERNATING LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — O(log^2 n) rounds guaranteed, ~log n observed,
+    * independent of component DIAMETER. (Round 2 used min-label
+    * propagation, whose round count is the diameter: a 5,000-doc
+    * windowed-Jaccard chain already exceeded 100 rounds. Star
+    * contraction resolves the same graph in single-digit rounds.)
+    *
+    *   large-star: every node links its LARGER neighbors to its
+    *     neighborhood minimum (halves long paths each round);
+    *   small-star: every node links its not-larger neighbors to that
+    *     minimum (flattens local structure onto the minimum).
+    *
+    * Both steps preserve connected components exactly and only ever
+    * link a node to a smaller one, so the fixed point is a forest of
+    * STARS rooted at each component's minimum id. Each step is one
+    * groupBy (per-node min) + one join back over the EDGE list — no
+    * adjacency materialization, no driver-side data. Convergence is an
+    * order-independent edge-set checksum (count + sum of xxhash64)
+    * computed in ONE aggregate job per round; the star-forest shape is
+    * then verified structurally (no node both root and leaf), so a
+    * checksum collision cannot silently yield wrong labels.
+    *
+    * localCheckpoint truncates the per-round plan lineage; it is
+    * NON-recomputable under executor loss — on a real cluster swap in
+    * reliable `checkpoint()` (HDFS/object-store dir) or persist+count.
     */
-  def nearDupComponents(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
-    val edges = pairs.select(col("id_a").as("lo"), col("id_b").as("hi"))
-    val nodes = edges.select(col("lo").as("id"))
-      .union(edges.select(col("hi").as("id"))).distinct()
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    var converged = false
+  def nearDupComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // canonical lo < hi edges, deduped and materialized ONCE (the
+    // upstream pair query must not be recomputed every round)
+    var edges = pairs.select(
+        least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // order-independent edge-set fingerprint, one job (hash sum in
+    // decimal(38,0): a long sum overflows under ANSI mode)
+    def checksum(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    // large-star: m(u) = min(N(u) ∪ {u}); emit (m(u), v) for v ∈ N(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+    }
+    // small-star: orient edges toward the smaller endpoint; per node u
+    // with smaller-neighbor set N(u), m = min(N(u)); emit (m, v) for
+    // v ∈ N(u) \ {m} and (m, u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(col("hi").as("u"), col("lo").as("v"))
+      val mins = directed.groupBy(col("u")).agg(min(col("v")).as("m"))
+      directed.join(mins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .union(mins.select(col("m").as("lo"), col("u").as("hi")))
+        .distinct()
+    }
+
+    var prev = checksum(edges)
+    var converged = edges.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
-      // labels flowing both directions along each edge
-      val viaLo = edges.join(labels.withColumnRenamed("id", "lo"), "lo")
-        .select(col("hi").as("id"), col("label"))
-      val viaHi = edges.join(labels.withColumnRenamed("id", "hi"), "hi")
-        .select(col("lo").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
-        .union(viaLo).union(viaHi)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-      // convergence = no label changed this round. localCheckpoint
-      // truncates the otherwise exponentially growing plan lineage.
-      val nextMat = next.localCheckpoint(true)
-      val changed = nextMat.as("n").join(labels.as("p"), Seq("id"))
-        .where(col("n.label") =!= col("p.label")).limit(1).count()
-      labels = nextMat
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(next)
+      converged = cur == prev
+      edges = next
+      prev = cur
       it += 1
     }
     // silent non-convergence would hand downstream keep/drop WRONG
-    // labels (multiple "representatives" per cluster); fail loudly —
-    // propagation needs diameter rounds, so maxIters bounds the
-    // component diameter the caller accepts
+    // labels (multiple "representatives" per cluster); fail loudly
     if (!converged)
       throw new IllegalStateException(
-        s"nearDupComponents did not converge in $maxIters rounds " +
-          "(component diameter exceeds maxIters); raise maxIters")
-    labels
+        s"nearDupComponents did not converge in $maxIters rounds; raise maxIters")
+    // structural star check: a converged forest has no node that is
+    // both a root (lo) and a leaf (hi) — guards the checksum against
+    // a collision-induced false convergence
+    val notStar = edges.select(col("lo").as("id"))
+      .intersect(edges.select(col("hi").as("id"))).limit(1).count()
+    if (notStar != 0)
+      throw new IllegalStateException(
+        "nearDupComponents converged to a non-star edge set (checksum collision?)")
+    nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** DuckDB oracle of nearDupComponents: min reachable id per node via
