@@ -59,19 +59,28 @@ object SparkEntry {
     "[؀-ۿݐ-ݿa-zA-Z0-9\\s.,:;!?()\\-+=]"
   private val ArtifactClass = "[�□▪◦●]"
 
-  /** Shared skeleton of the per-image OCR driver queries: the SAME
-    * salted repartition as the flagship job, one engine per task,
-    * flatMap body. The input only needs a `doc_id` column (Doc rows or
-    * bare ids both work).
+  /** Salted repartition shared by every per-image driver query: the
+    * SAME hash family as the flagship job, with the partition count
+    * taken from the SESSION (spark.sql.shuffle.partitions) rather than
+    * a literal — so task count scales with the cluster instead of
+    * funneling 100x inputs into 32 tasks. The input only needs a
+    * `doc_id` column (Doc rows or bare ids both work).
+    */
+  private def salted[I](ds: org.apache.spark.sql.Dataset[I]): org.apache.spark.sql.Dataset[I] = {
+    val parts = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    ds.repartition(parts, ExtractionJob.pidCol(ExtractionJob.Config(numPartitions = parts)))
+  }
+
+  /** Shared skeleton of the per-image OCR driver queries: salted
+    * repartition, one engine per task, flatMap body.
     */
   private def ocrMapPartitions[I, O: org.apache.spark.sql.Encoder](
       ds: org.apache.spark.sql.Dataset[I])(
       f: (I, graft.ocr.OcrEngine) => IterableOnce[O]): org.apache.spark.sql.Dataset[O] =
-    ds.repartition(32, ExtractionJob.pidCol(ExtractionJob.Config()))
-      .mapPartitions { it =>
-        val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
-        it.flatMap(i => f(i, engine))
-      }
+    salted(ds).mapPartitions { it =>
+      val engine = new graft.ocr.OcrEngine(graft.ocr.GlyphClassifier.default)
+      it.flatMap(i => f(i, engine))
+    }
 
   /** fetch + magic-sniff decode of one media_ref. */
   private def fetchImage(ref: String): graft.image.GrayImage =
@@ -426,8 +435,11 @@ object SparkEntry {
       ocrMapPartitions(docs(s, dir).select(col("doc_id")).as[Long]) { (id, engine) =>
         val img = fetchImage(graft.image.SynthMediaStore.ref(
           Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)), 0, id))
+        // recognize ONCE, filter per floor: the OCR pass is the
+        // expensive part and both floors see the same page
+        val full = engine.recognize(img)
         Seq(0.3, 1.01).map { floor =>
-          val r = engine.recognize(img, minLineConf = floor)
+          val r = engine.applyLineFloor(full, floor)
           (id, floor, r.lines.size.toLong, r.text)
         }
       }.toDF("doc_id", "floor", "kept_lines", "kept_text")
@@ -499,7 +511,7 @@ object SparkEntry {
     // decode -> split frames -> sample every 2nd -> per-frame metadata
     "mm_frame_sample" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+      salted(docs(s, dir).select(col("doc_id")).as[Long]).map { id =>
         val text = Vocab.Sentences(Vocab.sentenceIdx1(id))
         val nFrames = (id % 4 + 2).toInt
         val ref = graft.image.FrameCodec.ref(text, nFrames, id)
@@ -526,7 +538,7 @@ object SparkEntry {
     // -> emit source + target dims
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+      salted(docs(s, dir).select(col("doc_id")).as[Long]).map { id =>
         val ref = graft.image.SynthMediaStore.ref(
           Vocab.Sentences(Vocab.sentenceIdx1(id)), Vocab.Angles(Vocab.angleIdx1(id)), 0, id)
         val img = graft.image.ImageCodec.decode(graft.image.SynthMediaStore.fetch(ref))
@@ -553,7 +565,7 @@ object SparkEntry {
     // Multimodal: media metadata (decode the span images, emit dims)
     "mm_media_meta" -> ((s, dir) => {
       import s.implicits._
-      DocGen.fromDriverDocs(s, dir)
+      salted(DocGen.fromDriverDocs(s, dir))
         .flatMap { d =>
           d.spans.filter(_.kind == "image").map { sp =>
             val img = graft.image.PgmCodec.decode(graft.image.SynthMediaStore.fetch(sp.media_ref))

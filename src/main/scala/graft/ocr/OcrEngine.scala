@@ -46,14 +46,19 @@ final class OcrEngine(classifier: GlyphClassifier) extends Serializable {
     * tesseract_backend.py:138-142), then reassemble the page text.
     * The flagship smart path uses no floor (minConf = 0).
     */
-  def recognize(img: GrayImage, minLineConf: Double): PageResult = {
-    val r = recognize(img)
+  def recognize(img: GrayImage, minLineConf: Double): PageResult =
+    applyLineFloor(recognize(img), minLineConf)
+
+  /** The floor as a pure function of an already-recognized page, so
+    * callers comparing several floors recognize ONCE and filter per
+    * floor (the OCR pass is the expensive part, the filter is free).
+    */
+  def applyLineFloor(r: PageResult, minLineConf: Double): PageResult =
     if (minLineConf <= 0.0) r
     else {
       val kept = r.lines.filter(l => l.confidence >= minLineConf && l.text.nonEmpty)
       r.copy(text = kept.map(_.text).mkString(" "), lines = kept)
     }
-  }
 
   /** A clean or dropout-noised glyph is always within MaxNoiseDrops
     * Hamming of its template; lower confidence signals a structurally

@@ -38,6 +38,8 @@ object Sessionize {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  /** Per-user state: disjoint open sessions, ordered by start. */
+  final case class OpenSessions(sessions: Vector[SessionState])
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            n_events: Long, total_value: Double)
 
@@ -61,43 +63,61 @@ object Sessionize {
     t
   }
 
-  /** Streaming sessionization over a watermarked event stream. */
+  /** Streaming sessionization over a watermarked event stream.
+    *
+    * State per user is a SET of disjoint open sessions (intervals),
+    * not a single one: events within a micro-batch arrive unordered,
+    * and across micro-batches an ADMISSIBLE late event (above the
+    * watermark) may precede, fall inside, or BRIDGE previously seen
+    * sessions. Each invocation folds prior intervals and new events
+    * (as singleton intervals) through a gap-tolerant interval merge —
+    * equivalent to sessionizing the union of all underlying event
+    * timestamps, so stream == batch for every admissible arrival
+    * order (round-2 ADVICE: the old single-session state moved lastTs
+    * BACKWARD on late events and could split or time out early).
+    *
+    * A session is emitted exactly when the watermark passes its close
+    * point (lastTs + gap): no admissible event can attach to it any
+    * more. The state size is bounded by the number of disjoint
+    * sessions still above the watermark — one, in the common case,
+    * since the watermark lags max event time by exactly one gap.
+    */
   def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", s"$GapMinutes minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed the open session's close point: emit it
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, tsFromMicros(s.start), s.n, round6(s.total)))
-          } else {
-            // micro-batch events arrive unordered within the batch;
-            // all times in exact MICROSECONDS (batch-twin parity)
-            val sorted = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.event_id))
-            val closed = Vector.newBuilder[Session]
-            var cur = state.getOption.orNull
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              if (cur == null) cur = SessionState(t, t, 1, e.value)
-              else if (t - cur.lastTs <= GapUs)
-                cur = cur.copy(lastTs = t, n = cur.n + 1, total = cur.total + e.value)
-              else {
-                closed += Session(userId, tsFromMicros(cur.start), cur.n, round6(cur.total))
-                cur = SessionState(t, t, 1, e.value)
-              }
-            }
-            state.update(cur)
-            // close when the watermark passes last-event + gap
-            // (timeout API is ms: round UP so a session never times
-            // out a fraction of a ms before its true close point)
-            state.setTimeoutTimestamp((cur.lastTs + GapUs + 999) / 1000)
-            closed.result().iterator
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSessions]) =>
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val prior = state.getOption.map(_.sessions).getOrElse(Vector.empty)
+          // all times in exact MICROSECONDS (batch-twin parity)
+          val units = (prior ++ it.map { e =>
+            val t = micros(e.ts); SessionState(t, t, 1, e.value)
+          }).sortBy(s => (s.start, s.lastTs))
+          val merged = Vector.newBuilder[SessionState]
+          var cur: SessionState = null
+          units.foreach { u =>
+            if (cur == null) cur = u
+            else if (u.start - cur.lastTs <= GapUs)
+              cur = SessionState(cur.start, math.max(cur.lastTs, u.lastTs),
+                cur.n + u.n, cur.total + u.total)
+            else { merged += cur; cur = u }
           }
+          if (cur != null) merged += cur
+          // final once no admissible event (>= watermark) can attach
+          val (closed, open) = merged.result().partition(s => s.lastTs + GapUs < wmUs)
+          if (open.nonEmpty) {
+            state.update(OpenSessions(open))
+            // close when the watermark passes the earliest open close
+            // point (ms API: round UP so a session never times out a
+            // fraction of a ms early; clamp above the watermark, which
+            // the timeout API requires)
+            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1,
+              (open.map(_.lastTs).min + GapUs + 999) / 1000))
+          } else state.remove()
+          closed.iterator.map(s => Session(userId, tsFromMicros(s.start), s.n, round6(s.total)))
       }
   }
 

@@ -65,4 +65,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.subsetOf(got),
       s"watermark-closed sessions missing from the stream: ${expected -- got}")
   }
+
+  test("sessionize: admissible out-of-order events ACROSS micro-batches bridge sessions (stream == batch)") {
+    import spark.implicits._
+    // ONE user, events split across two files so the second micro-batch
+    // delivers events that precede and bridge what the first batch saw:
+    //   file 1: minutes 0, 12   -> naive state splits them (gap 12 > 10)
+    //   file 2: minutes 5, 13   -> 5 bridges [0] and [12] (admissible:
+    //           watermark after file 1 = 12 - 10 = 2), 13 extends
+    //   file 2 also carries minute 60, pushing the final watermark to
+    //   50 so the bridged session [0..13] closes and must emit as ONE
+    //   session of 4 events — the round-2 ADVICE failure mode was
+    //   emitting the split [0] alone, which the batch twin never has.
+    val base = java.sql.Timestamp.valueOf("2026-02-01 00:00:00").getTime
+    def ev(id: Long, offMin: Double, value: Double) =
+      Sessionize.Event(id, new java.sql.Timestamp(base + (offMin * 60000).toLong), 77L, "click", value)
+    val file1 = Seq(ev(1, 0, 1.0), ev(2, 12, 2.0))
+    val file2 = Seq(ev(3, 5, 4.0), ev(4, 13, 8.0), ev(5, 60, 16.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-ooo").toString
+    def write(evs: Seq[Sessionize.Event]): Unit =
+      evs.toDF().select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit("").as("props")).coalesce(1).write.mode("append").parquet(dir)
+    write(file1)
+    Thread.sleep(1500) // distinct mod times: file order == write order
+    write(file2)
+
+    val got = Sessionize.runOnce(spark, dir, s"sess_ooo_${System.nanoTime()}")
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("start_epoch"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = Sessionize.sessionizeBatch(
+        spark.read.schema(EventsStream.eventsSchema).parquet(dir))
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("start_epoch"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    assert(batch == Set((77L, base / 1000, 4L, 15.0), (77L, base / 1000 + 3600, 1L, 16.0)),
+      s"batch twin fixture drifted: $batch")
+    assert(got.subsetOf(batch), s"stream emitted sessions the batch twin never has: ${got -- batch}")
+    // final watermark = 60 - 10 = 50; the bridged session closes at
+    // 13 + 10 = 23 < 50 and MUST be emitted whole
+    assert(got.contains((77L, base / 1000, 4L, 15.0)),
+      s"bridged 4-event session missing or split: $got")
+  }
 }
