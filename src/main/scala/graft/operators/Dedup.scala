@@ -316,40 +316,47 @@ object Dedup {
         sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
     }
+    // Each star op is ONE per-node-min window pass over the edge list
+    // (one exchange, min computed in the same stage) — a groupBy +
+    // join-back costs two exchanges per op. The composite round dedupes
+    // once at the end: intermediate duplicate edges cannot change any
+    // min. Hot-node skew puts a node's neighborhood in one partition —
+    // inherent to the per-node reduce either way.
     // large-star: m(u) = min(N(u) ∪ {u}); emit (m(u), v) for v ∈ N(u), v > u
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("lo").as("u"), col("hi").as("v"))
         .union(e.select(col("hi").as("u"), col("lo").as("v")))
-      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      nbrs.join(mins, "u")
+      nbrs.withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
         .where(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
-        .distinct()
     }
     // small-star: orient edges toward the smaller endpoint; per node u
     // with smaller-neighbor set N(u), m = min(N(u)); emit (m, v) for
-    // v ∈ N(u) \ {m} and (m, u)
+    // v ∈ N(u) \ {m} and (m, u) — the v == m row is rewritten to the
+    // (m, u) root link, so one projection emits both kinds
     def smallStar(e: DataFrame): DataFrame = {
       val directed = e.select(col("hi").as("u"), col("lo").as("v"))
-      val mins = directed.groupBy(col("u")).agg(min(col("v")).as("m"))
-      directed.join(mins, "u")
-        .where(col("v") =!= col("m"))
-        .select(col("m").as("lo"), col("v").as("hi"))
-        .union(mins.select(col("m").as("lo"), col("u").as("hi")))
+      directed.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+        .select(col("m").as("lo"),
+          when(col("v") === col("m"), col("u")).otherwise(col("v")).as("hi"))
         .distinct()
     }
 
     var prev = checksum(edges)
-    var converged = edges.isEmpty
+    var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // LAZY checkpoint: the checksum aggregate is the action that
+      // materializes it, so each round is ONE job (plus its shuffles)
+      // instead of a materialize-job + a checksum-job
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val cur = checksum(next)
       converged = cur == prev
       edges = next
       prev = cur
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $it edges=${cur._1}")
     }
     // silent non-convergence would hand downstream keep/drop WRONG
     // labels (multiple "representatives" per cluster); fail loudly
