@@ -90,7 +90,7 @@ object Bench {
   private def memTask(seed: Int): Unit = {
     val a = new Array[Byte](512 * 1024)
     var pass = 0
-    while (pass < 200) {
+    while (pass < 2000) {
       var i = (seed * 64) & 4095
       while (i < a.length) { a(i) = (i + pass).toByte; i += 64 }
       pass += 1
@@ -204,9 +204,9 @@ object Bench {
       // N->4N shortfall is the host's shared memory path, not the
       // job's shuffle/partition structure (BASELINE.md, round 2).
       val probes = if (doProbes) {
-        val (c8, c32, cEff) = probeEff(8, 32, 256)(cpuTask)
+        val (c8, c32, cEff) = probeEff(8, 32, 512)(cpuTask)
         val (m8, m32, mEff) = probeEff(8, 32, 512)(memTask)
-        val (o8, o32, oEff) = probeEff(8, 32, 1024)(ocrTask)
+        val (o8, o32, oEff) = probeEff(8, 32, 16384)(ocrTask)
         f""","scaling_evidence":{"cpu_sec_n8":$c8%.3f,"cpu_sec_n32":$c32%.3f,"cpu_eff_8_32":$cEff%.4f,""" +
           f""""mem_sec_n8":$m8%.3f,"mem_sec_n32":$m32%.3f,"mem_eff_8_32":$mEff%.4f,""" +
           f""""ocr_pool_sec_n8":$o8%.3f,"ocr_pool_sec_n32":$o32%.3f,"ocr_pool_eff_8_32":$oEff%.4f,""" +

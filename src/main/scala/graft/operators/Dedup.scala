@@ -247,20 +247,30 @@ object Dedup {
     ColumnBridge.column(graft.functions.SimHashPoly(ColumnBridge.expression(tokens)))
   }
 
-  /** SimHash near-dup pairs over the cross-engine poly hash: 30-bit
-    * signature blocked on its three 10-bit thirds (pigeonhole: any
-    * pair at hamming <= 2 shares a third EXACTLY; beyond that the
-    * blocking is the usual recall/cost heuristic). The oracle-checked
-    * face of the SimHash operator (simhashOracleSql).
+  /** SimHash near-dup pairs over the cross-engine poly hash: the
+    * 30-bit signature is blocked on `blocks` equal-width chunks
+    * (pigeonhole: any pair at hamming <= blocks-1 shares a chunk
+    * EXACTLY; beyond that the blocking is the usual recall/cost
+    * heuristic). The oracle-checked face of the SimHash operator
+    * (simhashOracleSql, generated from the same constants).
+    *
+    * Default 3 chunks of 10 bits. 10-bit chunks saturate on dense
+    * self-similar corpora (2^10 buckets — BASELINE.md); raising
+    * `blocks` (5 x 6-bit, 6 x 5-bit) trades candidate volume for
+    * recall at hamming <= blocks-1. `blocks` must divide 30; the
+    * 64-bit xxhash64-quarters variant (`simhashPairs`) stays the
+    * production default for high-density corpora.
     */
   def simhashPairsPoly(docs: DataFrame, maxHamming: Int,
-                       maxBucketSize: Int = MaxBucketSize): DataFrame = {
+                       maxBucketSize: Int = MaxBucketSize, blocks: Int = 3): DataFrame = {
     import graft.functions.SketchKernels.PolySimBits
+    require(PolySimBits % blocks == 0, s"blocks=$blocks must divide $PolySimBits")
+    val width = PolySimBits / blocks
     val sh = docs.select(col("doc_id"), simhashPolyCol(tokensCol(col("text"))).as("simhash"))
       .where(col("simhash").isNotNull)
     val blocked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 3).map { q =>
-        shiftright(col("simhash"), q * (PolySimBits / 3)).bitwiseAND((1L << (PolySimBits / 3)) - 1)
+      posexplode(array((0 until blocks).map { q =>
+        shiftright(col("simhash"), q * width).bitwiseAND((1L << width) - 1)
       }: _*)).as(Seq("q", "block")))
     simhashPairsFromBlocked(blocked, maxHamming, maxBucketSize)
   }
@@ -442,14 +452,16 @@ object Dedup {
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $threshold""".stripMargin
   }
 
-  def simhashOracleSql(maxHamming: Int, maxBucketSize: Int = MaxBucketSize): String = {
+  def simhashOracleSql(maxHamming: Int, maxBucketSize: Int = MaxBucketSize,
+                       blocks: Int = 3): String = {
     import graft.functions.SketchKernels.PolySimBits
+    require(PolySimBits % blocks == 0, s"blocks=$blocks must divide $PolySimBits")
     val bitSum = (0 until PolySimBits).map { b =>
       s"(CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> $b) & 1)) > len(hs) " +
         s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
-    val third = PolySimBits / 3
-    val blockStructs = (0 until 3).map { q =>
+    val third = PolySimBits / blocks
+    val blockStructs = (0 until blocks).map { q =>
       s"{'q': $q, 'block': (sh >> ${q * third}) & ${(1L << third) - 1}}"
     }.mkString(", ")
     s"""WITH t AS ($toksSql),

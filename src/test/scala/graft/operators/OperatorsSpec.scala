@@ -125,6 +125,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!sh.exists(p => p._1 == 300L && p._2 == 301L), "empty docs paired via simhash")
   }
 
+  test("poly simhash block width: finer nested blocking only adds candidates; exact dup found at every width") {
+    val df = corpus()
+    def pairsAt(blocks: Int) =
+      Dedup.simhashPairsPoly(df, maxHamming = 8, blocks = blocks)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p3 = pairsAt(3); val p6 = pairsAt(6)
+    // a shared 10-bit chunk implies both contained 5-bit chunks match,
+    // so the 3-block candidate set nests inside the 6-block one
+    assert(p3.subsetOf(p6), s"coarse blocking found pairs fine blocking missed: ${p3 -- p6}")
+    Seq(3, 5, 6).foreach { b =>
+      assert(pairsAt(b).contains((11L, 201L)), s"exact dup missing at blocks=$b")
+    }
+  }
+
   test("multi-probe LSH ANN: full-probe equals brute force; 1-bit probe beats exact-bucket on UNIFORM vectors") {
     // anti-clustered fixture: uniform random embeddings, the adversarial
     // case for single-bucket probing (sparse buckets truncate top-k)
