@@ -44,6 +44,17 @@ class SparkEntrySpec extends AnyFunSuite {
       s"anti-join not broadcast:\n${plan.take(800)}")
   }
 
+  test("mm decode queries run behind the shared salted repartition") {
+    // the per-image decode work must fan out across session partitions
+    // (not inherit the parquet scan's few input splits): the salted
+    // hash exchange has to appear below the decode map
+    Seq("mm_resize", "mm_frame_sample", "mm_media_meta", "ocr_lines").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("pmod(xxhash64"),
+        s"$q missing the salted repartition:\n${plan.take(800)}")
+    }
+  }
+
   test("ann queries broadcast the query side") {
     val plan = SparkEntry.queries("ann_cosine_topk")(spark, sf)
       .queryExecution.executedPlan.toString
