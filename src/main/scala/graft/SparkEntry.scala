@@ -268,6 +268,12 @@ object SparkEntry {
     "dd_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), idWindow = 25, threshold = 0.8)),
 
+    // Dedup: windowed word-3-gram SHINGLE Jaccard near-dup pairs —
+    // order-sensitive similarity (same vocabulary, different phrasing
+    // shares unigrams but few shingles); same block equi-join shape
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, idWindow = 25, threshold = 0.5)),
+
     // Dedup: near-dup CLUSTER resolution — connected components over
     // the windowed-Jaccard candidate pairs, every member labeled with
     // its component's smallest doc id (keep = label == doc_id). The
@@ -533,6 +539,15 @@ object SparkEntry {
           unix_micros(col("session_start").cast("timestamp")).as("session_start_epoch"),
           col("n_events"), col("total_value"))),
 
+    // Streaming exact-dedup twin: first event per (user_id,
+    // event_type) under the deterministic earliest-(ts, event_id)
+    // statement of first arrival — the batch face of
+    // EventsStream.dedupStream (stream ≡ twin pinned in StreamingSpec)
+    "st_dedup" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupBatch(events(s, dir))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_epoch"), col("value"))),
+
     // Multimodal: deterministic nearest-neighbor resize (the
     // cost-bounding step before per-frame inference): decode -> halve
     // -> emit source + target dims
@@ -719,6 +734,8 @@ object SparkEntry {
           "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25 " +
           "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8"),
 
+      "dd_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(n = 3, idWindow = 25, threshold = 0.5),
+
       "dd_components" -> {
         // edge list = the dd_jaccard_pairs oracle, ids only
         val pairs =
@@ -878,6 +895,12 @@ object SparkEntry {
       },
 
       "st_sessionize" -> graft.streaming.Sessionize.batchOracleSql,
+
+      "st_dedup" ->
+        ("WITH r AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_epoch, value, " +
+          "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn " +
+          "FROM events) " +
+          "SELECT user_id, event_type, event_id, ts_epoch, value FROM r WHERE rn = 1"),
 
       "mm_resize" ->
         (s"SELECT doc_id, CAST(${dimCase(s1, a1i, "w")} AS BIGINT) AS width, " +

@@ -24,6 +24,70 @@ object Dedup {
   def tokensCol(text: Column): Column =
     array_remove(array_distinct(split(lower(text), "\\s+")), "")
 
+  /** ORDERED non-empty word tokens (shingling needs sequence order,
+    * unlike the set-semantics tokensCol).
+    */
+  def wordSeqCol(text: Column): Column =
+    filter(split(lower(text), "\\s+"), x => x =!= "")
+
+  /** Distinct word n-gram shingles — the n-gram unit for Jaccard
+    * similarity (n consecutive words joined with one space). Captures
+    * local word ORDER, which unigram word sets cannot: two docs with
+    * the same vocabulary but different phrasing share unigrams yet few
+    * shingles. Docs with fewer than n words shingle to an empty set.
+    */
+  def shinglesCol(text: Column, n: Int): Column = {
+    val w = wordSeqCol(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Windowed n-gram-shingle Jaccard near-dup pairs: identical block
+    * equi-join shape to `jaccardPairs` (same linear candidate volume),
+    * similarity computed over distinct word n-grams instead of the
+    * unigram word set. Docs shingling empty (fewer than n words) never
+    * pair — an empty set has no meaningful Jaccard to anything.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, idWindow: Int, threshold: Double): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"), shinglesCol(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("blk", floor(col("doc_id") / idWindow))
+    val probe = t.withColumn("probe_blk", explode(array(col("blk"), col("blk") + 1)))
+    val a = probe.as("a"); val b = t.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.probe_blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.doc_id") <= col("a.doc_id") + idWindow)
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        round(jaccardCol(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** DuckDB oracle of ngramJaccardPairs (same constants). */
+  def ngramJaccardOracleSql(n: Int, idWindow: Int, threshold: Double): String = {
+    // w[i] || ' ' || w[i+1] || ... (DuckDB lists are 1-based)
+    val shingle = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+    val jac = "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |    CASE WHEN len(w) >= $n THEN
+       |      list_distinct(list_transform(generate_series(1, len(w) - ${n - 1}), i -> $shingle))
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM t),
+       |nz AS (SELECT * FROM s WHERE len(sh) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
+       |FROM nz a JOIN nz b
+       |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + $idWindow
+       |WHERE $jac >= $threshold""".stripMargin
+  }
+
   /** Exact duplicate groups by content digest (md5). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_md5"))

@@ -54,4 +54,56 @@ object EventsStream {
   /** Batch twin of windowedAgg (the oracle). */
   def batchEquivalent(spark: SparkSession, dir: String): DataFrame =
     windowedAgg(spark.read.schema(eventsSchema).parquet(dir))
+
+  // ---- streaming exact-dedup (first arrival per key) ----------------------
+
+  /** Streaming exact-dedup: keep the FIRST-ARRIVED event per
+    * (user_id, event_type) — the streaming face of the training-
+    * pipeline exact-dedup gate (drop re-ingested duplicates at the
+    * door instead of re-scanning the lake).
+    *
+    * `dropDuplicates` on non-time keys holds one state row per
+    * distinct key forever — exact global dedup, state O(distinct
+    * keys). When keys are unbounded, production bounds the state with
+    * `dropDuplicatesWithinWatermark` instead, trading global dedup for
+    * dedup-within-lateness; the query shape is identical, so the
+    * switch is one call. When ingestion is time-ordered (lake file
+    * order), first arrival == earliest (ts, event_id), which is what
+    * the batch twin below states deterministically.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+
+  /** Batch twin: earliest (ts, event_id) per key — the deterministic
+    * statement of first arrival under time-ordered ingestion. One
+    * window exchange keyed on the dedup key.
+    */
+  def dedupBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+  }
+
+  /** Run the streaming dedup over a parquet dir (one file per
+    * micro-batch, arrival order = file modification order).
+    */
+  def runDedupOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = dedupStream(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
 }

@@ -125,6 +125,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!sh.exists(p => p._1 == 300L && p._2 == 301L), "empty docs paired via simhash")
   }
 
+  test("n-gram shingle jaccard: order-sensitive (reordered doc pairs on unigrams, not on shingles)") {
+    // doc 1 == doc 0 reordered: identical word SET (unigram jaccard
+    // 1.0) but almost no shared 3-gram shingles; doc 2 is a true copy
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again today", "en"),
+      (1L, "dog lazy the over jumps fox brown quick the today again", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog again today", "en")
+    ).toDF("doc_id", "text", "lang")
+    val uni = Dedup.jaccardPairs(docs, idWindow = 10, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uni == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"unigram pairs: $uni")
+    val tri = Dedup.ngramJaccardPairs(docs, n = 3, idWindow = 10, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tri == Set((0L, 2L)), s"shingle pairs must see only the true copy: $tri")
+    // short docs shingle empty and never pair
+    val short = Seq((0L, "one two", "en"), (1L, "one two", "en")).toDF("doc_id", "text", "lang")
+    assert(Dedup.ngramJaccardPairs(short, n = 3, idWindow = 10, threshold = 0.1).count() == 0)
+  }
+
   test("poly simhash block width: finer nested blocking only adds candidates; exact dup found at every width") {
     val df = corpus()
     def pairsAt(blocks: Int) =

@@ -66,6 +66,37 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark-closed sessions missing from the stream: ${expected -- got}")
   }
 
+  test("streaming exact-dedup: first arrival across micro-batches == batch earliest-per-key twin") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
+    def ev(id: Long, user: Long, typ: String, offMin: Int, value: Double) =
+      Sessionize.Event(id, new java.sql.Timestamp(base + offMin * 60000L), user, typ, value)
+    // file 1: each key's EARLIEST event (unique keys within the file,
+    // so first-arrival is unambiguous); file 2: later duplicates of
+    // some keys plus one brand-new key
+    val file1 = Seq(
+      ev(1, 1, "click", 0, 1.0), ev(2, 1, "view", 1, 2.0), ev(3, 2, "click", 2, 3.0))
+    val file2 = Seq(
+      ev(4, 1, "click", 10, 4.0), ev(5, 2, "click", 11, 5.0), // dups: must be dropped
+      ev(6, 2, "purchase", 12, 6.0)) // new key: must be kept
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    def write(evs: Seq[Sessionize.Event]): Unit =
+      evs.toDF().select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit("").as("props")).coalesce(1).write.mode("append").parquet(dir)
+    write(file1)
+    Thread.sleep(1500)
+    write(file2)
+
+    val got = EventsStream.runDedupOnce(spark, dir, s"sdedup_${System.nanoTime()}")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .as[(Long, String, Long)].collect().toSet
+    val want = EventsStream.dedupBatch(spark.read.schema(EventsStream.eventsSchema).parquet(dir))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(want == Set((1L, "click", 1L), (1L, "view", 2L), (2L, "click", 3L), (2L, "purchase", 6L)))
+    assert(got == want, s"stream dedup != batch twin: got $got want $want")
+  }
+
   test("sessionize: admissible out-of-order events ACROSS micro-batches bridge sessions (stream == batch)") {
     import spark.implicits._
     // ONE user, events split across two files so the second micro-batch
