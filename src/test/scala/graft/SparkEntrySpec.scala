@@ -70,6 +70,18 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), "OCR stage must be a narrow mapPartitions")
   }
 
+  test("no query plans a CartesianProduct") {
+    // global audit: a cartesian anywhere is O(n^2) at scale. The only
+    // sanctioned nested-loop is the r2r4 broadcast of a 1-row maxes
+    // aggregate (constant-size side), so BroadcastNestedLoopJoin is
+    // allowed; CartesianProduct never is.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${plan.take(800)}")
+    }
+  }
+
   test("lsh candidate joins: no cartesian product anywhere, hot-key anti-join broadcasts") {
     for (q <- Seq("dd_minhash_lsh", "dd_simhash", "dd_embed_cosine_lsh", "ann_lsh_topk")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString

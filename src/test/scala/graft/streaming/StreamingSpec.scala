@@ -66,6 +66,35 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark-closed sessions missing from the stream: ${expected -- got}")
   }
 
+  test("streaming extraction: micro-batched flagship == batch extraction; restart reprocesses nothing") {
+    import spark.implicits._
+    val all = graft.fixtures.DocGen.synthetic(spark, nDocs = 40, seed = 21L).collect()
+    val inDir = java.nio.file.Files.createTempDirectory("graft-dstream-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dstream-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-dstream-ck").toString
+    // two landing files -> two micro-batches
+    all.take(20).toSeq.toDS().write.mode("append").parquet(inDir)
+    Thread.sleep(1200)
+    all.drop(20).toSeq.toDS().write.mode("append").parquet(inDir)
+
+    val cfg = graft.pipeline.ExtractionJob.Config(numPartitions = 4)
+    DocsStream.runOnce(spark, inDir, outDir, ckDir, cfg)
+    def readOut() = spark.read.parquet(outDir)
+      .select(col("doc_id"), to_json(col("spans")).as("spans_json"))
+      .as[(String, String)].collect().toMap
+    val got = readOut()
+    val want = graft.pipeline.ExtractionJob
+      .extract(spark, all.toSeq.toDS(), cfg).toDF
+      .select(col("doc_id"), to_json(col("spans")).as("spans_json"))
+      .as[(String, String)].collect().toMap
+    assert(got == want, s"stream extraction diverged: ${got.size} vs ${want.size} docs")
+
+    // restart against the same checkpoint: all input already committed,
+    // so nothing is reprocessed and the output is unchanged
+    DocsStream.runOnce(spark, inDir, outDir, ckDir, cfg)
+    assert(readOut() == want, "restart must not duplicate or alter extracted output")
+  }
+
   test("streaming exact-dedup: first arrival across micro-batches == batch earliest-per-key twin") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
