@@ -145,7 +145,11 @@ object Bench {
         .map(t => s"$sfDir/$t.parquet")
         .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
         .foreach(p => force(spark.read.parquet(p)))
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // optional comma-separated filter for targeted timing runs
+      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val res = try Right(time(force(fn(spark, sfDir)))) catch {
           case e: Throwable =>
             System.err.println(s"[bench] QUERY FAILED: $name -> $e")

@@ -44,6 +44,19 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct shingles as SORTED cross-engine poly-hash LONGS, built
+    * in one native pass over the word array (no shingle strings, no
+    * per-element HOF re-evaluation): the verify join then merges
+    * 8-byte sets instead of re-hashing multi-word strings per
+    * candidate pair. Hash collisions collapse identically on both
+    * engines (same family), so oracle equality is preserved exactly.
+    */
+  def shingleHashesCol(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.ShingleHashes(
+      ColumnBridge.expression(wordSeqCol(text)), n))
+  }
+
   /** Windowed n-gram-shingle Jaccard near-dup pairs: identical block
     * equi-join shape to `jaccardPairs` (same linear candidate volume),
     * similarity computed over distinct word n-grams instead of the
@@ -51,37 +64,57 @@ object Dedup {
     * pair — an empty set has no meaningful Jaccard to anything.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, idWindow: Int, threshold: Double): DataFrame = {
-    val t = docs.select(col("doc_id"), col("lang"), shinglesCol(col("text"), n).as("sh"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val t = docs.select(col("doc_id"), col("lang"), shingleHashesCol(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("blk", floor(col("doc_id") / idWindow))
     val probe = t.withColumn("probe_blk", explode(array(col("blk"), col("blk") + 1)))
     val a = probe.as("a"); val b = t.as("b")
+    // size prefilter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+    // (|A∩B| <= min, |A∪B| >= max) — prunes length-mismatched pairs
+    // before the merge pays O(|A|+|B|); result set provably unchanged,
+    // so the oracle needs no restatement. The merge itself is the
+    // native sorted-long kernel (zero allocation per pair) instead of
+    // hash-set-building array_intersect/array_distinct.
+    val sizeOk = least(size(col("a.sh")), size(col("b.sh"))).cast("double") >=
+      lit(threshold) * greatest(size(col("a.sh")), size(col("b.sh"))).cast("double")
+    val mergeJac = ColumnBridge.column(graft.functions.SortedLongJaccard(
+      ColumnBridge.expression(col("a.sh")), ColumnBridge.expression(col("b.sh"))))
     a.join(b,
         col("a.lang") === col("b.lang") && col("a.probe_blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("b.doc_id") <= col("a.doc_id") + idWindow)
+          col("b.doc_id") <= col("a.doc_id") + idWindow && sizeOk)
       .select(
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
-        round(jaccardCol(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+        round(mergeJac, 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
-  /** DuckDB oracle of ngramJaccardPairs (same constants). */
+  /** DuckDB oracle of ngramJaccardPairs (same constants, same poly
+    * hash family — polyHash restated as the unicode-fold, so even a
+    * hash collision collapses identically on both engines).
+    */
   def ngramJaccardOracleSql(n: Int, idWindow: Int, threshold: Double): String = {
+    import graft.functions.SketchKernels.PolyM
     // w[i] || ' ' || w[i+1] || ... (DuckDB lists are 1-based)
     val shingle = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+    val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      raw"list_transform(regexp_extract_all(s, '[\s\S]'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * 131 + b) % $PolyM)"
     val jac = "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
     s"""WITH t AS (SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
        |  FROM documents),
-       |s AS (SELECT doc_id, lang,
+       |st AS (SELECT doc_id, lang,
        |    CASE WHEN len(w) >= $n THEN
        |      list_distinct(list_transform(generate_series(1, len(w) - ${n - 1}), i -> $shingle))
-       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |    ELSE CAST([] AS VARCHAR[]) END AS shs
        |  FROM t),
-       |nz AS (SELECT * FROM s WHERE len(sh) > 0)
+       |h AS (SELECT doc_id, lang,
+       |    list_distinct(list_transform(shs, s -> $hash)) AS sh FROM st),
+       |nz AS (SELECT * FROM h WHERE len(sh) > 0)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
        |FROM nz a JOIN nz b
        |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + $idWindow

@@ -144,6 +144,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(short, n = 3, idWindow = 10, threshold = 0.1).count() == 0)
   }
 
+  test("shingle hash kernel == polyHash of the Column-twin shingle strings") {
+    // the native single-pass kernel (no shingle strings built) must
+    // hash exactly what the declarative twin enumerates
+    val df = corpus().union(Seq(
+      (500L, "  spaced   out\ttokens  here now ", "en"),
+      (501L, "one two", "en")).toDF("doc_id", "text", "lang"))
+    val native = df.select($"doc_id", Dedup.shingleHashesCol($"text", 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val twin = df.select($"doc_id", Dedup.shinglesCol($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    twin.foreach { case (id, shingles) =>
+      val want = shingles.map(s => graft.functions.SketchKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))).distinct.sorted
+      assert(native(id) == want, s"doc $id: native ${native(id).take(5)} vs twin ${want.take(5)}")
+    }
+    assert(native(501L).isEmpty, "2-word doc must shingle empty at n=3")
+  }
+
   test("poly simhash block width: finer nested blocking only adds candidates; exact dup found at every width") {
     val df = corpus()
     def pairsAt(blocks: Int) =
