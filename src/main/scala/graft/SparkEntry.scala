@@ -727,24 +727,15 @@ object SparkEntry {
       "dd_exact_groups" ->
         "SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_id FROM documents GROUP BY 1",
 
-      "dd_jaccard_pairs" ->
-        ("WITH t AS (SELECT doc_id, lang, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM documents) " +
-          "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-          "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard " +
-          "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25 " +
-          "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8"),
+      "dd_jaccard_pairs" -> Dedup.jaccardPairsOracleSql(idWindow = 25, threshold = 0.8),
 
       "dd_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(n = 3, idWindow = 25, threshold = 0.5),
 
-      "dd_components" -> {
-        // edge list = the dd_jaccard_pairs oracle, ids only
-        val pairs =
-          "WITH t AS (SELECT doc_id, lang, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM documents) " +
-            "SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
-            "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25 " +
-            "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) >= 0.8"
-        Dedup.componentsOracleSql(pairs)
-      },
+      "dd_components" ->
+        // edge list = the dd_jaccard_pairs oracle, ids only (nested as
+        // a subquery: the recursive CTE can't absorb its WITH chain)
+        Dedup.componentsOracleSql("SELECT * FROM (" +
+          Dedup.jaccardPairsOracleSql(idWindow = 25, threshold = 0.8, idsOnly = true) + ") q"),
 
       // poly-hash sketch pipelines: oracles generated from the same
       // constants as the operators (Dedup/Similarity *.OracleSql)

@@ -91,6 +91,25 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** DuckDB oracle of jaccardPairs (same hashed-token-set face). Pass
+    * `idsOnly = true` for the edge-list form the components oracle
+    * embeds.
+    */
+  def jaccardPairsOracleSql(idWindow: Int, threshold: Double, idsOnly: Boolean = false): String = {
+    val jac = "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6)"
+    val proj = if (idsOnly) "" else s", $jac AS jaccard"
+    s"""WITH w AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+       |  FROM documents),
+       |t AS (SELECT doc_id, lang, ${tokenHashesSql("words")} AS toks FROM w),
+       |nz AS (SELECT * FROM t WHERE len(toks) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b$proj
+       |FROM nz a JOIN nz b
+       |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + $idWindow
+       |WHERE $jac >= $threshold""".stripMargin
+  }
+
   /** DuckDB oracle of ngramJaccardPairs (same constants, same poly
     * hash family — polyHash restated as the unicode-fold, so even a
     * hash collision collapses identically on both engines).
@@ -137,6 +156,21 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
+  /** Sorted distinct cross-engine poly hashes of the word-SET tokens
+    * (ShingleHashes at width 1 — post-hash dedupe ≡ distinct words
+    * then hash, collisions collapsing identically in DuckDB).
+    */
+  def tokenHashesCol(text: Column): Column = shingleHashesCol(text, 1)
+
+  /** DuckDB face of tokenHashesCol over a word list `w`. */
+  private[operators] def tokenHashesSql(w: String): String = {
+    import graft.functions.SketchKernels.PolyM
+    s"list_distinct(list_transform($w, s -> " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      raw"list_transform(regexp_extract_all(s, '[\s\S]'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * 131 + b) % $PolyM)))"
+  }
+
   /** Windowed n-gram (word-set) Jaccard near-dup pairs: candidate pairs
     * restricted to same-language docs within an id window (the exact
     * quadratic fallback used to validate the LSH path on samples).
@@ -146,21 +180,29 @@ object Dedup {
     * product (O(n^2) at any scale). A pair within the window spans at
     * most two consecutive id-blocks of width w, so probing block and
     * block+1 turns it into a shuffled hash join with linear candidate
-    * volume.
+    * volume. The verify compares poly-hashed token SETS with the
+    * zero-allocation sorted-merge kernel behind the size prefilter
+    * (J >= t forces min >= t*max — result set provably unchanged).
     */
   def jaccardPairs(docs: DataFrame, idWindow: Int, threshold: Double): DataFrame = {
-    val t = docs.select(col("doc_id"), col("lang"), tokensCol(col("text")).as("toks"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val t = docs.select(col("doc_id"), col("lang"), tokenHashesCol(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
       .withColumn("blk", floor(col("doc_id") / idWindow))
     val probe = t.withColumn("probe_blk", explode(array(col("blk"), col("blk") + 1)))
     val a = probe.as("a"); val b = t.as("b")
+    val sizeOk = least(size(col("a.toks")), size(col("b.toks"))).cast("double") >=
+      lit(threshold) * greatest(size(col("a.toks")), size(col("b.toks"))).cast("double")
+    val mergeJac = ColumnBridge.column(graft.functions.SortedLongJaccard(
+      ColumnBridge.expression(col("a.toks")), ColumnBridge.expression(col("b.toks"))))
     a.join(b,
         col("a.lang") === col("b.lang") && col("a.probe_blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("b.doc_id") <= col("a.doc_id") + idWindow)
+          col("b.doc_id") <= col("a.doc_id") + idWindow && sizeOk)
       .select(
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
-        round(jaccardCol(col("a.toks"), col("b.toks")), 6).as("jaccard"))
+        round(mergeJac, 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -224,10 +266,14 @@ object Dedup {
     * candidate self-join shuffles three small columns; candidates
     * dedupe on the two-long id pair BEFORE verification (a pair
     * sharing k bands would otherwise shuffle its token arrays and pay
-    * the Jaccard k times); token arrays join back once per side.
+    * the Jaccard k times); token-HASH sets (sorted longs) join back
+    * once per side, and the verify is the zero-allocation sorted-merge
+    * kernel. `withToks` must carry (doc_id, toks: array<long>, sorted
+    * distinct).
     */
   private def lshPairsVerified(withToks: DataFrame, banded: DataFrame,
                                maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val cold = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val a = cold.as("a"); val b = cold.as("b")
     val pairs = a.join(b,
@@ -235,27 +281,29 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    val mergeJac = ColumnBridge.column(graft.functions.SortedLongJaccard(
+      ColumnBridge.expression(col("toks_a")), ColumnBridge.expression(col("toks_b"))))
     pairs
       .join(withToks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(withToks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(jaccardCol(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(mergeJac, 6).as("jaccard"))
   }
 
   def minhashLshPairs(docs: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double,
                       maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val perms = bands * rowsPerBand
-    val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    // string tokens feed the signature; sorted hash sets feed the
+    // verify (column pruning keeps each branch to its own column)
+    val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks_str"),
+      tokenHashesCol(col("text")).as("toks"))
     val banded = withToks
-      .withColumn("sig", minhashSignature(col("toks"), perms))
+      .withColumn("sig", minhashSignature(col("toks_str"), perms))
       .where(col("sig").isNotNull) // empty-token docs sketch nothing
       .select(
         col("doc_id"),
         posexplode(array((0 until bands).map { b =>
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
         }: _*)).as(Seq("band", "bucket")))
-    // withToks re-reads the raw tokens (no sketch recompute: column
-    // pruning drops sig on the verify branches)
     lshPairsVerified(withToks, banded, maxBucketSize).where(col("jaccard") >= threshold)
   }
 
@@ -275,9 +323,10 @@ object Dedup {
     */
   def minhashLshPairsPoly(docs: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double,
                           maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks_str"),
+      tokenHashesCol(col("text")).as("toks"))
     val banded = withToks
-      .withColumn("bks", minhashPolyBuckets(col("toks"), bands, rowsPerBand))
+      .withColumn("bks", minhashPolyBuckets(col("toks_str"), bands, rowsPerBand))
       .where(col("bks").isNotNull)
       .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
     lshPairsVerified(withToks, banded, maxBucketSize).where(col("jaccard") >= threshold)
@@ -535,15 +584,17 @@ object Dedup {
       s"$fold AS bk$b"
     }.mkString(", ")
     val bandStructs = (0 until bands).map(b => s"{'band': $b, 'bucket': bk$b}").mkString(", ")
+    // verify over the DISTINCT token-hash sets (the Spark side merges
+    // sorted hash sets; collisions collapse identically here)
     s"""WITH t AS ($toksSql),
-       |h AS (SELECT doc_id, toks, $polyHashListSql AS hs FROM t WHERE len(toks) > 0),
-       |sig AS (SELECT doc_id, toks, $sigCols FROM h),
-       |bk AS (SELECT doc_id, toks, $bucketCols FROM sig),
-       |banded AS (SELECT doc_id, toks, u['band'] AS band, u['bucket'] AS bucket
+       |h AS (SELECT doc_id, $polyHashListSql AS hs FROM t WHERE len(toks) > 0),
+       |sig AS (SELECT doc_id, list_distinct(hs) AS ht, $sigCols FROM h),
+       |bk AS (SELECT doc_id, ht, $bucketCols FROM sig),
+       |banded AS (SELECT doc_id, ht, u['band'] AS band, u['bucket'] AS bucket
        |  FROM bk, UNNEST([$bandStructs]) AS un(u)),
        |cold AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucketSize),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    ${jaccardSql("a.toks", "b.toks")} AS jaccard
+       |    ${jaccardSql("a.ht", "b.ht")} AS jaccard
        |  FROM cold a JOIN cold b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $threshold""".stripMargin
