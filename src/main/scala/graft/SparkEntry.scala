@@ -348,6 +348,14 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // Incremental ingestion gate: dedup a NEW batch (odd doc_ids)
+    // against the EXISTING corpus (even doc_ids) — exact digest
+    // anti-join + cross-set banded MinHash near-dup semi-join; keeps
+    // new docs that duplicate nothing already ingested
+    "tp_incremental_ingest" -> ((s, dir) =>
+      Dedup.incrementalIngestFilter(docs(s, dir), col("doc_id") % 2 === 0,
+        bands = 8, rowsPerBand = 4, threshold = 0.8)),
+
     // Corpus vocabulary statistics: global token frequencies, top 20 —
     // explode is map-side, the count aggregates partially before the
     // one shuffle, and the top-k is a driver-sized TakeOrdered (no
@@ -740,6 +748,9 @@ object SparkEntry {
       // poly-hash sketch pipelines: oracles generated from the same
       // constants as the operators (Dedup/Similarity *.OracleSql)
       "dd_minhash_lsh" -> Dedup.minhashLshOracleSql(bands = 8, rowsPerBand = 4, threshold = 0.8),
+
+      "tp_incremental_ingest" -> Dedup.incrementalIngestOracleSql(
+        corpusPred = "doc_id % 2 = 0", bands = 8, rowsPerBand = 4, threshold = 0.8),
 
       "dd_simhash" -> Dedup.simhashOracleSql(maxHamming = 4),
 

@@ -307,6 +307,96 @@ object Dedup {
     lshPairsVerified(withToks, banded, maxBucketSize).where(col("jaccard") >= threshold)
   }
 
+  /** Incremental ingestion gate — the dedup decision a production
+    * pipeline runs when a NEW batch lands against an EXISTING corpus:
+    * keep a new doc iff it is (a) not an exact duplicate of any corpus
+    * doc (digest anti-join) and (b) not a verified near-duplicate of
+    * any corpus doc (cross-set banded MinHash join: new-side buckets
+    * probe corpus-side buckets — same linear candidate volume as the
+    * self-join case, hot buckets capped across both sides, verify on
+    * hashed token sets). Returns the kept new-side doc_ids.
+    *
+    * At scale the corpus side's banded table is the big side; the
+    * join is a plain shuffled equi-join on (band, bucket) and AQE
+    * broadcasts the (usually much smaller) new batch at runtime.
+    */
+  def incrementalIngestFilter(docs: DataFrame, isCorpus: Column,
+                              bands: Int, rowsPerBand: Int, threshold: Double,
+                              maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tagged = docs.select(col("doc_id"), col("text"), isCorpus.as("is_corpus"))
+    val corpusDigests = tagged.where(col("is_corpus"))
+      .select(md5(col("text")).as("digest")).distinct()
+    val newDocs = tagged.where(!col("is_corpus"))
+    val afterExact = newDocs
+      .withColumn("digest", md5(col("text")))
+      .join(corpusDigests, Seq("digest"), "left_anti")
+
+    val withSketch = tagged.select(col("doc_id"), col("is_corpus"),
+      tokensCol(col("text")).as("toks_str"), tokenHashesCol(col("text")).as("toks"))
+    val banded = withSketch
+      .withColumn("bks", minhashPolyBuckets(col("toks_str"), bands, rowsPerBand))
+      .where(col("bks").isNotNull)
+      .select(col("doc_id"), col("is_corpus"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val cold = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val cands = cold.where(!col("is_corpus")).as("a")
+      .join(cold.where(col("is_corpus")).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_old"))
+      .distinct()
+    val mergeJac = ColumnBridge.column(graft.functions.SortedLongJaccard(
+      ColumnBridge.expression(col("ta")), ColumnBridge.expression(col("tb"))))
+    val nearDupNew = cands
+      .join(withSketch.where(!col("is_corpus"))
+        .select(col("doc_id").as("id_new"), col("toks").as("ta")), "id_new")
+      .join(withSketch.where(col("is_corpus"))
+        .select(col("doc_id").as("id_old"), col("toks").as("tb")), "id_old")
+      .where(round(mergeJac, 6) >= threshold)
+      .select(col("id_new").as("doc_id")).distinct()
+
+    afterExact.join(nearDupNew, Seq("doc_id"), "left_anti").select(col("doc_id"))
+  }
+
+  /** DuckDB oracle of incrementalIngestFilter (same constants; the
+    * corpus/new split is restated by `corpusPred` over `documents`).
+    */
+  def incrementalIngestOracleSql(corpusPred: String, bands: Int, rowsPerBand: Int,
+                                 threshold: Double,
+                                 maxBucketSize: Int = MaxBucketSize): String = {
+    import graft.functions.SketchKernels.{PolyM, permA, permB}
+    val sigCols = (0 until bands * rowsPerBand).map { p =>
+      s"list_min(list_transform(hs, x -> (${permA(p)} * x + ${permB(p)}) % $PolyM)) AS s$p"
+    }.mkString(", ")
+    val bucketCols = (0 until bands).map { b =>
+      val fold = (0 until rowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc * 1000003 + s${b * rowsPerBand + r}) % $PolyM)"
+      }
+      s"$fold AS bk$b"
+    }.mkString(", ")
+    val bandStructs = (0 until bands).map(b => s"{'band': $b, 'bucket': bk$b}").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, text, ($corpusPred) AS is_corpus FROM documents),
+       |t AS (SELECT doc_id, is_corpus, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM base),
+       |h AS (SELECT doc_id, is_corpus, $polyHashListSql AS hs FROM t WHERE len(toks) > 0),
+       |sig AS (SELECT doc_id, is_corpus, list_distinct(hs) AS ht, $sigCols FROM h),
+       |bk AS (SELECT doc_id, is_corpus, ht, $bucketCols FROM sig),
+       |banded AS (SELECT doc_id, is_corpus, ht, u['band'] AS band, u['bucket'] AS bucket
+       |  FROM bk, UNNEST([$bandStructs]) AS un(u)),
+       |cold AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucketSize),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+       |  FROM cold a JOIN cold b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE NOT a.is_corpus AND b.is_corpus),
+       |neardup AS (SELECT DISTINCT c.id_new FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_new
+       |  JOIN sig sb ON sb.doc_id = c.id_old
+       |  WHERE ${jaccardSql("sa.ht", "sb.ht")} >= $threshold),
+       |exact AS (SELECT DISTINCT n.doc_id FROM base n JOIN base c
+       |  ON NOT n.is_corpus AND c.is_corpus AND md5(n.text) = md5(c.text))
+       |SELECT doc_id FROM base WHERE NOT is_corpus
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact)
+       |  AND doc_id NOT IN (SELECT id_new FROM neardup)""".stripMargin
+  }
+
   /** Native poly band buckets (cross-engine family; one pass). */
   def minhashPolyBuckets(tokens: Column, bands: Int, rowsPerBand: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge

@@ -144,6 +144,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(short, n = 3, idWindow = 10, threshold = 0.1).count() == 0)
   }
 
+  test("incremental ingest gate: exact and near dups of the corpus dropped, fresh docs kept") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base, "en"),                                   // corpus (even)
+      (2L, "totally different words here now", "en"),     // corpus
+      (1L, base, "en"),                                   // new: exact dup of 0 -> drop
+      (3L, base.replaceFirst("alpha", "lambda"), "en"),   // new: near dup of 0 -> drop
+      (5L, "completely unrelated fresh content arrives today", "en"), // new: keep
+      (7L, "", "en")                                      // new: empty, no sketch, no exact dup -> keep
+    ).toDF("doc_id", "text", "lang")
+    val kept = Dedup.incrementalIngestFilter(docs, col("doc_id") % 2 === 0,
+        bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .as[Long].collect().toSet
+    assert(kept == Set(5L, 7L), s"kept: $kept")
+  }
+
   test("shingle hash kernel == polyHash of the Column-twin shingle strings") {
     // the native single-pass kernel (no shingle strings built) must
     // hash exactly what the declarative twin enumerates
