@@ -556,6 +556,26 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_epoch"), col("value"))),
 
+    // Multimodal AUDIO: opaque PCM payload -> decode -> windowed
+    // feature extraction (rms + zero crossings), the audio face of the
+    // decode/feature-extract path. Square-wave synthesis makes every
+    // feature closed-form in the ref parameters, so the oracle states
+    // them exactly (see AudioCodec).
+    "mm_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      salted(docs(s, dir).select(col("doc_id")).as[Long]).map { id =>
+        val n = (8000 + (id % 5) * 1000).toInt
+        val period = (40 + (id % 7) * 8).toInt
+        val amp = (1000 + (id % 3) * 500).toInt
+        val ref = graft.image.AudioCodec.ref(id, n, period, amp)
+        val f = graft.image.AudioCodec.features(
+          graft.image.AudioCodec.decode(graft.image.AudioCodec.fetch(ref)))
+        (id, f.nSamples,
+          BigDecimal(f.rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          f.zeroCrossings)
+      }.toDF("doc_id", "n_samples", "rms", "zero_crossings")
+    }),
+
     // Multimodal: deterministic nearest-neighbor resize (the
     // cost-bounding step before per-frame inference): decode -> halve
     // -> emit source + target dims
@@ -903,6 +923,12 @@ object SparkEntry {
           "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn " +
           "FROM events) " +
           "SELECT user_id, event_type, event_id, ts_epoch, value FROM r WHERE rn = 1"),
+
+      "mm_audio_features" ->
+        ("SELECT doc_id, CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS n_samples, " +
+          "round(CAST(1000 + (doc_id % 3) * 500 AS DOUBLE), 6) AS rms, " +
+          "CAST((8000 + (doc_id % 5) * 1000 - 1) // ((40 + (doc_id % 7) * 8) // 2) AS BIGINT) AS zero_crossings " +
+          "FROM documents"),
 
       "mm_resize" ->
         (s"SELECT doc_id, CAST(${dimCase(s1, a1i, "w")} AS BIGINT) AS width, " +

@@ -59,6 +59,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(engine.recognize(clean, 0.9).text == "نظام جديد")
   }
 
+  test("audio: codec round-trip, closed-form features, corrupt payload rejected") {
+    val ref = AudioCodec.ref(seed = 7L, nSamples = 1000, period = 40, amplitude = 1500)
+    val bytes = AudioCodec.fetch(ref)
+    val samples = AudioCodec.decode(bytes)
+    assert(samples.length == 1000)
+    assert(samples(0) == 1500 && samples(20) == -1500 && samples(40) == 1500,
+      "square wave must flip sign every half period")
+    val f = AudioCodec.features(samples)
+    assert(f.nSamples == 1000)
+    assert(f.rms == 1500.0, s"square-wave rms must be exactly the amplitude, got ${f.rms}")
+    assert(f.zeroCrossings == 999 / 20, s"zc ${f.zeroCrossings}")
+    // independent recompute of the features on a hand-built signal
+    val hand = Array[Short](3, -2, -2, 5, 0, -1)
+    val hf = AudioCodec.features(hand)
+    assert(hf.zeroCrossings == 3) // 3->-2, -2->5, 0(-ve? no: 0 is non-negative)->-1
+    assert(math.abs(hf.rms - math.sqrt((9.0 + 4 + 4 + 25 + 0 + 1) / 6)) < 1e-12)
+    // corrupt magic and truncation must fail loudly, not decode garbage
+    val bad = bytes.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException](AudioCodec.decode(bad))
+    intercept[IllegalArgumentException](AudioCodec.decode(bytes.dropRight(1)))
+  }
+
   test("streaming: windowed agg over events matches the batch twin") {
     val spark = SparkTestSession.spark
     val dir = "/root/testdata/sf0.001"
