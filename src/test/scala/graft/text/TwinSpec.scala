@@ -103,6 +103,21 @@ class TwinSpec extends AnyFunSuite {
     val got2 = spark.sql("SELECT normalize_arabic_enhanced('سؤال؟') AS n")
       .collect().head.getString(0)
     assert(got2 == ArabicNormalizer.normalizeEnhanced("سؤال؟"))
+    // the sketch family reaches plain SQL through the same mechanism;
+    // each result is cross-checked against the Column-API path
+    val row = spark.sql(
+      "SELECT sorted_long_jaccard(shingle_hashes(array('a','b','c','d'), 2), " +
+        "shingle_hashes(array('a','b','c','x'), 2)) AS j, " +
+        "simhash_poly(array('aa','bb')) AS sp, " +
+        "size(minhash_poly_buckets(array('aa','bb'), 4, 2)) AS nb").collect().head
+    // shingles {ab,bc,cd} vs {ab,bc,cx}: |∩|=2, |∪|=4
+    assert(row.getDouble(0) == 0.5, s"sql shingle jaccard: ${row.getDouble(0)}")
+    assert(row.getLong(1) != 0L)
+    assert(row.getInt(2) == 4)
+    // parameter positions must be literals — a column there is an error
+    val err = intercept[Exception](
+      spark.sql("SELECT shingle_hashes(array('a'), id) FROM range(1)").collect())
+    assert(err.getMessage != null)
   }
 
   test("normalization idempotence: enhanced always; basic modulo its double-space quirk") {
