@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.lake.LakeFormat
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** PERSISTED IVF index — the production shape of ANN over a corpus
+  * that is queried many times: build once (driver k-means on a capped
+  * sample + one narrow distributed assignment pass), save through the
+  * lake seam with the corpus PARTITIONED BY CELL, then answer every
+  * later query by reading only the probed cells (real partition
+  * pruning at the parquet scan — at 10^12 vectors the index IS the
+  * data layout, and nProbe/nCells of the corpus is all a query ever
+  * touches on disk). `Similarity.annIvfTopK` stays the build-and-query
+  * one-shot; this is its reusable twin, pinned equal in tests.
+  */
+object IvfIndex {
+
+  final case class Index(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  /** One assignment pass against broadcast centroid literals. */
+  def build(corpus: DataFrame, nCells: Int, kmeansIters: Int = 2): Index = {
+    val cents = Similarity.kmeansCentroids(corpus, nCells, kmeansIters)
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      Similarity.normCol(col("embedding")).as("c_nrm"),
+      Similarity.ivfCellCol(col("embedding"), cents).as("cell"))
+    Index(cents, assigned)
+  }
+
+  /** Persist: vectors partitioned by cell (`<name>_vectors/cell=N/`),
+    * centroids as a tiny side table.
+    */
+  def save(idx: Index, lake: LakeFormat, name: String): Unit = {
+    lake.write(idx.assigned, s"${name}_vectors", partitionBy = Seq("cell"))
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    lake.write(idx.centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid"), s"${name}_centroids")
+  }
+
+  def load(spark: SparkSession, lake: LakeFormat, name: String): Index = {
+    val cents = lake.read(spark, s"${name}_centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    Index(cents, lake.read(spark, s"${name}_vectors"))
+  }
+
+  /** Top-k against the index. The probed-cell set (<= |queries| *
+    * nProbe ints, queries are the broadcast-small side by contract) is
+    * collected and pushed into the scan as a STATIC `cell IN (...)`
+    * filter, so a partition-by-cell layout prunes unprobed cells at
+    * the source instead of after the read.
+    */
+  def queryTopK(idx: Index, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      Similarity.normCol(col("embedding")).as("q_nrm"),
+      explode(Similarity.ivfProbeCellsCol(col("embedding"), idx.centroids, nProbe)).as("cell"))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val c = idx.assigned.where(col("cell").isin(probed.map(Int.box): _*))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.dotCol(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

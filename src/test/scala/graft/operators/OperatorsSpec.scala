@@ -265,6 +265,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == exact, "nProbe == nCells must equal brute force")
   }
 
+  test("persisted IVF index: save/load/query == one-shot path; probed cells prune partitions at the scan") {
+    val emb = clustered(320, 32, 8, 0.1f, 11)
+    val queries = emb.where(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val lake = new graft.lake.ParquetLake(dir)
+    IvfIndex.save(IvfIndex.build(emb, nCells = 16, kmeansIters = 2), lake, "ann")
+    val loaded = IvfIndex.load(spark, lake, "ann")
+    // same centroids (deterministic k-means), so identical results to
+    // the one-shot build-and-query path at every nProbe
+    for (nProbe <- Seq(4, 16)) {
+      val got = IvfIndex.queryTopK(loaded, queries, k = 3, nProbe = nProbe)
+        .select("query_id", "neighbor_id", "score").as[(Long, Long, Double)].collect().toSet
+      val want = Similarity.annIvfTopK(emb, queries, k = 3, nCells = 16, nProbe = nProbe)
+        .select("query_id", "neighbor_id", "score").as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"index path diverged at nProbe=$nProbe")
+    }
+    // the probed-cell filter must reach the scan as a partition filter
+    // (cell=N directory pruning), not a post-scan data filter
+    val plan = IvfIndex.queryTopK(loaded, queries, k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(900))
+  }
+
   test("embed-cosine near-dup: windowed pairs == independent recompute; LSH recovers planted dups") {
     val emb = clustered(200, 16, 40, 0.05f, 13)
     val got = Similarity.embedCosinePairs(emb, idWindow = 40, threshold = 0.9)
