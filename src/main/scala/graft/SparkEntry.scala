@@ -367,6 +367,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Training chunking: token-bounded chunks with overlap (64/16) —
+    // the step between cleaning and tokenization; chunk boundaries
+    // and remainder semantics restated exactly in the oracle
+    "ta_chunking" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(Dedup.chunkTokensCol(col("text"), size = 64, overlap = 16))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"),
+          size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"))),
+
     // Text analysis: token counts, quality score, language ID, fingerprint
     "ta_text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -844,6 +856,15 @@ object SparkEntry {
       "ta_token_freq" ->
         ("WITH t AS (SELECT unnest(list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '')) AS token FROM documents) " +
           "SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20"),
+
+      "ta_chunking" ->
+        ("WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents), " +
+          "s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0), " +
+          "c AS (SELECT doc_id, i AS chunk_idx, " +
+          "array_to_string(w[i*48+1 : least(i*48+64, n)], ' ') AS chunk_text " +
+          "FROM s, UNNEST(generate_series(0, CASE WHEN n <= 64 THEN 0 ELSE ((n - 64) + 47) // 48 END)) AS un(i)) " +
+          "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text, " +
+          "CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens FROM c"),
 
       "ta_text_stats" ->
         (s"SELECT doc_id, CAST(${TS.tokenCountSql("text")} AS BIGINT) AS bpe_tokens, " +

@@ -188,6 +188,35 @@ object SketchKernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Token-bounded training chunks with overlap: chunk i covers
+    * tokens [i*(size-overlap), i*(size-overlap)+size) joined with
+    * single spaces; the last chunk is the remainder. n <= size => one
+    * chunk; n == 0 => none. Single pass, no per-chunk HOF
+    * re-evaluation (see ShingleHashes' note on the declarative trap).
+    */
+  def chunkTokens(words: ArrayData, size: Int, overlap: Int): ArrayData = {
+    val n = words.numElements()
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val step = size - overlap
+    val k = if (n <= size) 1 else 1 + ((n - size) + step - 1) / step
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val a = i * step
+      val b = math.min(a + size, n)
+      val sb = new java.lang.StringBuilder()
+      var j = a
+      while (j < b) {
+        if (j > a) sb.append(' ')
+        sb.append(words.getUTF8String(j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def minhash(tokens: ArrayData, perms: Int): ArrayData = {
     val sig = new Array[Long](perms)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -278,6 +307,28 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.SketchKernels.shingleHashes($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Token-bounded training chunks with overlap (see
+  * SketchKernels.chunkTokens). size > overlap >= 0 required — equal
+  * would loop forever at the semantic level (zero-step windows).
+  */
+case class ChunkTokens(child: Expression, size: Int, overlap: Int) extends UnaryExpression {
+  require(size > 0 && overlap >= 0 && overlap < size,
+    s"need size > overlap >= 0, got size=$size overlap=$overlap")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "chunk_tokens"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SketchKernels.chunkTokens(v.asInstanceOf[ArrayData], size, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.SketchKernels.chunkTokens($t, $size, $overlap);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

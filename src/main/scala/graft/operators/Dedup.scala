@@ -307,6 +307,16 @@ object Dedup {
     lshPairsVerified(withToks, banded, maxBucketSize).where(col("jaccard") >= threshold)
   }
 
+  /** Token-bounded training chunks with overlap over the ORDERED,
+    * case-preserving token sequence (chunking feeds the tokenizer;
+    * lowercasing is the dedup paths' normalization, not chunking's).
+    */
+  def chunkTokensCol(text: Column, size: Int, overlap: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.ChunkTokens(
+      ColumnBridge.expression(filter(split(text, "\\s+"), x => x =!= "")), size, overlap))
+  }
+
   /** Incremental ingestion gate — the dedup decision a production
     * pipeline runs when a NEW batch lands against an EXISTING corpus:
     * keep a new doc iff it is (a) not an exact duplicate of any corpus

@@ -265,6 +265,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == exact, "nProbe == nCells must equal brute force")
   }
 
+  test("token chunking: boundaries, overlap, remainder, and degenerate sizes") {
+    val words = (1 to 10).map(i => s"w$i")
+    val df = Seq((0L, words.mkString(" ")), (1L, "a b"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        posexplode(Dedup.chunkTokensCol($"text", size = 4, overlap = 1)).as(Seq("i", "c")))
+      .as[(Long, Int, String)].collect().toSet
+    // 10 tokens, size 4, step 3: [0,4) [3,7) [6,10)
+    val want = Set(
+      (0L, 0, "w1 w2 w3 w4"), (0L, 1, "w4 w5 w6 w7"), (0L, 2, "w7 w8 w9 w10"),
+      (1L, 0, "a b"))
+    assert(got == want, s"got $got")
+    // whitespace-only and empty docs chunk to nothing (no phantom rows)
+    assert(!got.exists(r => r._1 == 2L || r._1 == 3L))
+    intercept[IllegalArgumentException](
+      graft.functions.ChunkTokens(null, size = 4, overlap = 4))
+  }
+
   test("persisted IVF index: save/load/query == one-shot path; probed cells prune partitions at the scan") {
     val emb = clustered(320, 32, 8, 0.1f, 11)
     val queries = emb.where(col("vec_id") < 5)
