@@ -49,6 +49,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "simhash_poly")(c => SimHashPoly(c.head))
     register(ext, "shingle_hashes")(c =>
       ShingleHashes(c(0), intLit(c(1), "shingle_hashes", 1)))
+    register(ext, "chunk_tokens")(c =>
+      ChunkTokens(c(0), intLit(c(1), "chunk_tokens", 1), intLit(c(2), "chunk_tokens", 2)))
     register(ext, "sorted_long_jaccard")(c => SortedLongJaccard(c(0), c(1)))
     // embedding kernels (array<float>)
     register(ext, "dot_product_f32")(c => DotProductF32(c(0), c(1)))

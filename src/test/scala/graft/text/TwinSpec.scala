@@ -114,6 +114,9 @@ class TwinSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 0.5, s"sql shingle jaccard: ${row.getDouble(0)}")
     assert(row.getLong(1) != 0L)
     assert(row.getInt(2) == 4)
+    val chunks = spark.sql(
+      "SELECT chunk_tokens(array('a','b','c','d','e'), 3, 1) AS c").collect().head.getSeq[String](0)
+    assert(chunks == Seq("a b c", "c d e"), s"sql chunks: $chunks")
     // parameter positions must be literals — a column there is an error
     val err = intercept[Exception](
       spark.sql("SELECT shingle_hashes(array('a'), id) FROM range(1)").collect())
