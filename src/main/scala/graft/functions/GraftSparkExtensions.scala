@@ -24,9 +24,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     */
   private def intLit(e: Expression, fn: String, pos: Int): Int = e.eval() match {
     case i: Int => i
-    case l: Long => l.toInt
+    case l: Long if l.isValidInt => l.toInt
     case other => throw new IllegalArgumentException(
-      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+      s"$fn: argument ${pos + 1} must be an Int-range integer literal, got $other")
   }
 
   private def register(ext: SparkSessionExtensions, name: String)(

@@ -145,13 +145,18 @@ object SketchKernels {
   def shingleHashes(words: ArrayData, n: Int): ArrayData = {
     val nw = words.numElements()
     if (nw < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // one UTF8String->String conversion per WORD (each word would
+    // otherwise be re-materialized once per overlapping shingle)
+    val strs = new Array[String](nw)
+    var w = 0
+    while (w < nw) { strs(w) = words.getUTF8String(w).toString; w += 1 }
     val h = new Array[Long](nw - n + 1)
     var i = 0
     while (i <= nw - n) {
       var acc = 0L
       var k = 0
       while (k < n) {
-        val s = words.getUTF8String(i + k).toString
+        val s = strs(i + k)
         var c = 0
         while (c < s.length) { acc = (acc * 131L + s.charAt(c)) % PolyM; c += 1 }
         if (k < n - 1) acc = (acc * 131L + 32L) % PolyM

@@ -72,10 +72,12 @@ object Dedup {
     val a = probe.as("a"); val b = t.as("b")
     // size prefilter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
     // (|A∩B| <= min, |A∪B| >= max) — prunes length-mismatched pairs
-    // before the merge pays O(|A|+|B|); result set provably unchanged,
-    // so the oracle needs no restatement. The merge itself is the
-    // native sorted-long kernel (zero allocation per pair) instead of
-    // hash-set-building array_intersect/array_distinct.
+    // before the merge pays O(|A|+|B|). Result-preserving against the
+    // unrounded Jaccard; the oracle applies the SAME prefilter so the
+    // round(J,6) knife edge prunes identically on both engines. The
+    // merge itself is the native sorted-long kernel (zero allocation
+    // per pair) instead of hash-set-building array_intersect/
+    // array_distinct.
     val sizeOk = least(size(col("a.sh")), size(col("b.sh"))).cast("double") >=
       lit(threshold) * greatest(size(col("a.sh")), size(col("b.sh"))).cast("double")
     val mergeJac = ColumnBridge.column(graft.functions.SortedLongJaccard(
@@ -95,6 +97,16 @@ object Dedup {
     * `idsOnly = true` for the edge-list form the components oracle
     * embeds.
     */
+  /** The size prefilter, restated for the oracles: J >= t forces
+    * min(|A|,|B|) >= t * max(|A|,|B|), so pruning on it is
+    * result-preserving against the UNROUNDED Jaccard — and because
+    * round(J, 6) can nudge a just-below-t pair over the line, the
+    * SAME prefilter is applied on BOTH engines so even that knife
+    * edge prunes identically.
+    */
+  private def sizeOkSql(a: String, b: String, threshold: Double): String =
+    s"CAST(least(len($a), len($b)) AS DOUBLE) >= $threshold * CAST(greatest(len($a), len($b)) AS DOUBLE)"
+
   def jaccardPairsOracleSql(idWindow: Int, threshold: Double, idsOnly: Boolean = false): String = {
     val jac = "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6)"
@@ -107,6 +119,7 @@ object Dedup {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b$proj
        |FROM nz a JOIN nz b
        |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + $idWindow
+       |  AND ${sizeOkSql("a.toks", "b.toks", threshold)}
        |WHERE $jac >= $threshold""".stripMargin
   }
 
@@ -137,6 +150,7 @@ object Dedup {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
        |FROM nz a JOIN nz b
        |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + $idWindow
+       |  AND ${sizeOkSql("a.sh", "b.sh", threshold)}
        |WHERE $jac >= $threshold""".stripMargin
   }
 
@@ -182,7 +196,8 @@ object Dedup {
     * block+1 turns it into a shuffled hash join with linear candidate
     * volume. The verify compares poly-hashed token SETS with the
     * zero-allocation sorted-merge kernel behind the size prefilter
-    * (J >= t forces min >= t*max — result set provably unchanged).
+    * (J >= t forces min >= t*max; the oracle applies the same
+    * prefilter — see sizeOkSql).
     */
   def jaccardPairs(docs: DataFrame, idWindow: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -271,10 +286,8 @@ object Dedup {
     * kernel. `withToks` must carry (doc_id, toks: array<long>, sorted
     * distinct).
     */
-  private def lshPairsVerified(withToks: DataFrame, banded: DataFrame,
-                               maxBucketSize: Int): DataFrame = {
+  private def lshPairsVerified(withToks: DataFrame, cold: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val cold = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val a = cold.as("a"); val b = cold.as("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -304,7 +317,29 @@ object Dedup {
         posexplode(array((0 until bands).map { b =>
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
         }: _*)).as(Seq("band", "bucket")))
-    lshPairsVerified(withToks, banded, maxBucketSize).where(col("jaccard") >= threshold)
+    lshPairsVerified(withToks, dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Shared spine of every poly-banded MinHash pipeline: sketches +
+    * banded buckets with the hot-bucket cap applied. Returns
+    * (withSketch, coldBanded) — withSketch carries (doc_id, extra...,
+    * toks_str, toks); coldBanded carries (doc_id, extra..., band,
+    * bucket). The self-join (near-dup pairs) and the cross-set join
+    * (incremental ingest) differ only in how they pair coldBanded
+    * rows, so the banding/capping/verify contract lives here once.
+    */
+  private def coldBandedPoly(docs: DataFrame, extra: Seq[String],
+                             bands: Int, rowsPerBand: Int,
+                             maxBucketSize: Int): (DataFrame, DataFrame) = {
+    val keyCols = col("doc_id") +: extra.map(col)
+    val withSketch = docs.select(
+      keyCols :+ tokensCol(col("text")).as("toks_str") :+ tokenHashesCol(col("text")).as("toks"): _*)
+    val banded = withSketch
+      .withColumn("bks", minhashPolyBuckets(col("toks_str"), bands, rowsPerBand))
+      .where(col("bks").isNotNull)
+      .select(keyCols :+ posexplode(col("bks")).as(Seq("band", "bucket")): _*)
+    (withSketch, dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize))
   }
 
   /** Token-bounded training chunks with overlap over the ORDERED,
@@ -342,14 +377,8 @@ object Dedup {
       .withColumn("digest", md5(col("text")))
       .join(corpusDigests, Seq("digest"), "left_anti")
 
-    val withSketch = tagged.select(col("doc_id"), col("is_corpus"),
-      tokensCol(col("text")).as("toks_str"), tokenHashesCol(col("text")).as("toks"))
-    val banded = withSketch
-      .withColumn("bks", minhashPolyBuckets(col("toks_str"), bands, rowsPerBand))
-      .where(col("bks").isNotNull)
-      .select(col("doc_id"), col("is_corpus"),
-        posexplode(col("bks")).as(Seq("band", "bucket")))
-    val cold = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val (withSketch, cold) = coldBandedPoly(tagged, Seq("is_corpus"),
+      bands, rowsPerBand, maxBucketSize)
     val cands = cold.where(!col("is_corpus")).as("a")
       .join(cold.where(col("is_corpus")).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
@@ -423,13 +452,8 @@ object Dedup {
     */
   def minhashLshPairsPoly(docs: DataFrame, bands: Int, rowsPerBand: Int, threshold: Double,
                           maxBucketSize: Int = MaxBucketSize): DataFrame = {
-    val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("toks_str"),
-      tokenHashesCol(col("text")).as("toks"))
-    val banded = withToks
-      .withColumn("bks", minhashPolyBuckets(col("toks_str"), bands, rowsPerBand))
-      .where(col("bks").isNotNull)
-      .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    lshPairsVerified(withToks, banded, maxBucketSize).where(col("jaccard") >= threshold)
+    val (withToks, cold) = coldBandedPoly(docs, Nil, bands, rowsPerBand, maxBucketSize)
+    lshPairsVerified(withToks, cold).where(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash from token hashes, as Catalyst expressions: for

@@ -54,10 +54,17 @@ object IvfIndex {
     * the source instead of after the read.
     */
   def queryTopK(idx: Index, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+    val spark = queries.sparkSession
+    val qPlan = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       Similarity.normCol(col("embedding")).as("q_nrm"),
       explode(Similarity.ivfProbeCellsCol(col("embedding"), idx.centroids, nProbe)).as("cell"))
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    // evaluate the query side ONCE: the collected rows feed both the
+    // probed-cell scan filter and the broadcast join side (otherwise
+    // the probe assignment and any upstream query plan run twice)
+    val qRows = qPlan.collect()
+    val probed = qRows.map(_.getAs[Int]("cell")).distinct
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
     val c = idx.assigned.where(col("cell").isin(probed.map(Int.box): _*))
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,25 +57,46 @@ object EventsStream {
 
   // ---- streaming exact-dedup (first arrival per key) ----------------------
 
+  final case class FirstEvent(user_id: Long, event_type: String, event_id: Long,
+                              ts: java.sql.Timestamp, value: Double)
+
   /** Streaming exact-dedup: keep the FIRST-ARRIVED event per
     * (user_id, event_type) — the streaming face of the training-
     * pipeline exact-dedup gate (drop re-ingested duplicates at the
     * door instead of re-scanning the lake).
     *
-    * `dropDuplicates` on non-time keys holds one state row per
-    * distinct key forever — exact global dedup, state O(distinct
-    * keys). When keys are unbounded, production bounds the state with
-    * `dropDuplicatesWithinWatermark` instead, trading global dedup for
-    * dedup-within-lateness; the query shape is identical, so the
-    * switch is one call. When ingestion is time-ordered (lake file
-    * order), first arrival == earliest (ts, event_id), which is what
-    * the batch twin below states deterministically.
+    * Implemented with per-key state rather than raw `dropDuplicates`,
+    * for two determinism properties a review of the naive form found
+    * missing: (a) WITHIN a micro-batch the kept row is the
+    * (ts, event_id)-minimum, not whichever row the file happened to
+    * order first; (b) no watermark is attached, so a key whose first
+    * arrival is arbitrarily event-time-late is still admitted (state
+    * is one marker per key either way — a watermark bought no eviction
+    * on non-time keys, only silent drops). Twin equality
+    * (`dedupBatch`) then holds exactly whenever each key's globally
+    * earliest event is in the key's first-seen micro-batch — lake-file
+    * time ordering at file granularity, the documented ingestion
+    * contract. State per key is one boolean; when keys are unbounded,
+    * production adds an event-time timeout to age markers out,
+    * trading global dedup for dedup-within-lateness.
     */
-  def dedupStream(events: DataFrame): DataFrame =
+  def dedupStream(events: Dataset[Sessionize.Event]): Dataset[FirstEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type")
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Boolean, FirstEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), it: Iterator[Sessionize.Event],
+         state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val e = it.minBy(x => (Sessionize.micros(x.ts), x.event_id))
+            state.update(true)
+            Iterator.single(FirstEvent(e.user_id, e.event_type, e.event_id, e.ts, e.value))
+          }
+      }
+  }
 
   /** Batch twin: earliest (ts, event_id) per key — the deterministic
     * statement of first arrival under time-ordered ingestion. One
@@ -94,9 +115,12 @@ object EventsStream {
     * micro-batch, arrival order = file modification order).
     */
   def runDedupOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
     val stream = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Sessionize.Event]
     val q = dedupStream(stream).writeStream
       .outputMode("append")
       .format("memory")

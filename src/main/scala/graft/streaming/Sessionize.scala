@@ -28,8 +28,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Parity contract: session BOUNDARIES and event counts are exactly
   * equal between stream and batch (both compare gaps in exact
   * microseconds). total_value is equal at 6 decimals up to floating
-  * re-association (the stream sums in event-time order, batch
-  * aggregation order is unspecified).
+  * re-association ONLY: the stream folds per-batch partial sums in
+  * interval-merge order, the batch twin aggregates in an unspecified
+  * order, so two sums within 1 ulp of a 0.5e-6 rounding boundary can
+  * round differently — fixtures pin totals with exactly-representable
+  * values, and exact-total consumers should recompute from events.
   */
 object Sessionize {
 
@@ -54,7 +57,7 @@ object Sessionize {
     * twin compares gaps in (unix_micros); Timestamp.getTime truncates
     * to ms and would split sub-ms knife-edge gaps differently.
     */
-  private def micros(ts: java.sql.Timestamp): Long =
+  private[streaming] def micros(ts: java.sql.Timestamp): Long =
     ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
 
   private def tsFromMicros(us: Long): java.sql.Timestamp = {

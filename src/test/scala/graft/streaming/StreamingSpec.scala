@@ -100,14 +100,19 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
     def ev(id: Long, user: Long, typ: String, offMin: Int, value: Double) =
       Sessionize.Event(id, new java.sql.Timestamp(base + offMin * 60000L), user, typ, value)
-    // file 1: each key's EARLIEST event (unique keys within the file,
-    // so first-arrival is unambiguous); file 2: later duplicates of
-    // some keys plus one brand-new key
+    // file 1 holds a key's LATER event before its earlier one in row
+    // order (within-batch disorder: the kept row must be the
+    // (ts, event_id)-minimum, not the first file row); file 2 adds
+    // later duplicates, a brand-new key, and a key whose FIRST arrival
+    // is far event-time-late (must still be admitted — no watermark
+    // silently drops first arrivals)
     val file1 = Seq(
-      ev(1, 1, "click", 0, 1.0), ev(2, 1, "view", 1, 2.0), ev(3, 2, "click", 2, 3.0))
+      ev(1, 1, "click", 10, 1.0), ev(2, 1, "click", 0, 1.5), // disorder: keep id 2
+      ev(3, 2, "click", 2, 3.0))
     val file2 = Seq(
-      ev(4, 1, "click", 10, 4.0), ev(5, 2, "click", 11, 5.0), // dups: must be dropped
-      ev(6, 2, "purchase", 12, 6.0)) // new key: must be kept
+      ev(4, 1, "click", 20, 4.0), ev(5, 2, "click", 11, 5.0), // dups: must be dropped
+      ev(6, 2, "purchase", 12, 6.0), // new key: must be kept
+      ev(7, 3, "view", -600, 7.0)) // very late first arrival: must be kept
     val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
     def write(evs: Seq[Sessionize.Event]): Unit =
       evs.toDF().select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -122,7 +127,7 @@ class StreamingSpec extends AnyFunSuite {
     val want = EventsStream.dedupBatch(spark.read.schema(EventsStream.eventsSchema).parquet(dir))
       .select(col("user_id"), col("event_type"), col("event_id"))
       .as[(Long, String, Long)].collect().toSet
-    assert(want == Set((1L, "click", 1L), (1L, "view", 2L), (2L, "click", 3L), (2L, "purchase", 6L)))
+    assert(want == Set((1L, "click", 2L), (2L, "click", 3L), (2L, "purchase", 6L), (3L, "view", 7L)))
     assert(got == want, s"stream dedup != batch twin: got $got want $want")
   }
 
