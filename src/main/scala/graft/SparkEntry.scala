@@ -283,6 +283,14 @@ object SparkEntry {
           Dedup.jaccardPairs(docs(s, dir), idWindow = 25, threshold = 0.8))
         .select(col("id"), col("label"))),
 
+    // Dedup: cluster resolution COMPOSES over any pair source — here
+    // the embedding-cosine near-dup pairs (same star contraction, same
+    // recursive-CTE oracle over the embed-pair SQL)
+    "dd_embed_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(
+          Similarity.embedCosinePairs(embeddings(s, dir), idWindow = 50, threshold = 0.3))
+        .select(col("id"), col("label"))),
+
     // Dedup: MinHash-LSH candidate pairs over the cross-engine poly
     // hash family — the FULL shingle->minhash->band->bucket->verify
     // pipeline is oracle-checked in DuckDB (the xxhash64 variant stays
@@ -829,6 +837,16 @@ object SparkEntry {
           s"CAST(3 AS BIGINT) AS pages_processed, " +
           s"CAST(${TS.wsTokenCountSql(joined)} AS BIGINT) AS total_words, " +
           "TRUE AS success FROM documents"
+      },
+
+      "dd_embed_components" -> {
+        val pairs =
+          "SELECT id_a, id_b FROM (WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+            "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+            "round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine " +
+            "FROM t a JOIN t b ON a.vec_id < b.vec_id AND b.vec_id <= a.vec_id + 50) " +
+            "SELECT id_a, id_b FROM p WHERE cosine >= 0.3) q"
+        Dedup.componentsOracleSql(pairs)
       },
 
       "dd_embed_cosine" ->
