@@ -19,41 +19,48 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** The parameter must be a literal the plan can fold at resolution
-    * time (it shapes the expression, like `round`'s scale).
+  /** The parameter must be a LITERAL the plan can fold at resolution
+    * time (it shapes the expression, like `round`'s scale). Matching
+    * on Literal, not eval(), keeps a non-foldable argument (a column)
+    * from surfacing as a bare Catalyst UnsupportedOperationException
+    * with no mention of the contract.
     */
-  private def intLit(e: Expression, fn: String, pos: Int): Int = e.eval() match {
-    case i: Int => i
-    case l: Long if l.isValidInt => l.toInt
+  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+    case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, _) if l.isValidInt => l.toInt
     case other => throw new IllegalArgumentException(
-      s"$fn: argument ${pos + 1} must be an Int-range integer literal, got $other")
+      s"$fn: argument ${pos + 1} must be an Int-range integer LITERAL, got $other")
   }
 
-  private def register(ext: SparkSessionExtensions, name: String)(
+  private def register(ext: SparkSessionExtensions, name: String, arity: Int)(
       builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
       new FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftSparkExtensions].getName, name),
-      builder))
+      (children: Seq[Expression]) => {
+        if (children.length != arity) throw new IllegalArgumentException(
+          s"$name takes $arity arguments, got ${children.length}")
+        builder(children)
+      }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    register(ext, "normalize_arabic_basic")(c => NormalizeArabicBasic(c.head))
-    register(ext, "normalize_arabic_enhanced")(c => NormalizeArabicEnhanced(c.head))
+    register(ext, "normalize_arabic_basic", 1)(c => NormalizeArabicBasic(c.head))
+    register(ext, "normalize_arabic_enhanced", 1)(c => NormalizeArabicEnhanced(c.head))
     // sketch family (array<string> tokens -> sketches / hashed sets)
-    register(ext, "minhash_signature")(c =>
+    register(ext, "minhash_signature", 2)(c =>
       MinHashSignature(c(0), intLit(c(1), "minhash_signature", 1)))
-    register(ext, "minhash_poly_buckets")(c =>
+    register(ext, "minhash_poly_buckets", 3)(c =>
       MinHashPolyBuckets(c(0), intLit(c(1), "minhash_poly_buckets", 1),
         intLit(c(2), "minhash_poly_buckets", 2)))
-    register(ext, "simhash64")(c => SimHash64(c.head))
-    register(ext, "simhash_poly")(c => SimHashPoly(c.head))
-    register(ext, "shingle_hashes")(c =>
+    register(ext, "simhash64", 1)(c => SimHash64(c.head))
+    register(ext, "simhash_poly", 1)(c => SimHashPoly(c.head))
+    register(ext, "shingle_hashes", 2)(c =>
       ShingleHashes(c(0), intLit(c(1), "shingle_hashes", 1)))
-    register(ext, "chunk_tokens")(c =>
+    register(ext, "chunk_tokens", 3)(c =>
       ChunkTokens(c(0), intLit(c(1), "chunk_tokens", 1), intLit(c(2), "chunk_tokens", 2)))
-    register(ext, "sorted_long_jaccard")(c => SortedLongJaccard(c(0), c(1)))
+    register(ext, "sorted_long_jaccard", 2)(c => SortedLongJaccard(c(0), c(1)))
     // embedding kernels (array<float>)
-    register(ext, "dot_product_f32")(c => DotProductF32(c(0), c(1)))
-    register(ext, "lsh_bucket")(c => LshBucket(c(0), intLit(c(1), "lsh_bucket", 1)))
+    register(ext, "dot_product_f32", 2)(c => DotProductF32(c(0), c(1)))
+    register(ext, "lsh_bucket", 2)(c => LshBucket(c(0), intLit(c(1), "lsh_bucket", 1)))
   }
 }

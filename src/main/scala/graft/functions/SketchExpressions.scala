@@ -47,16 +47,23 @@ object SketchKernels {
   def permA(p: Int): Long = { val a = ((p + 1) * 2654435761L) % PolyM; if (a == 0L) 1L else a }
   def permB(p: Int): Long = ((p + 1) * 2246822519L) % PolyM
 
-  /** Polynomial rolling hash over UTF-16 units (matches the Column
-    * twin's split(t, "") + ascii() enumeration and DuckDB's
-    * regexp_extract_all + unicode(); all fixture text is BMP-only, so
-    * units == codepoints on every engine).
+  /** Polynomial rolling hash over Unicode CODE POINTS — the unit
+    * DuckDB's regexp_extract_all('[\s\S]') + unicode() enumerates, so
+    * the cross-engine family agrees on EVERY plane, not just the BMP
+    * (UTF-16 charAt would fold a supplementary char as two surrogate
+    * terms and silently desynchronize the oracles). Identical to the
+    * former code-unit fold on all BMP text, which is all any fixture
+    * contains.
     */
   def polyHash(t: UTF8String): Long = {
     val s = t.toString
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 131L + s.charAt(i)) % PolyM; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % PolyM
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -158,7 +165,11 @@ object SketchKernels {
       while (k < n) {
         val s = strs(i + k)
         var c = 0
-        while (c < s.length) { acc = (acc * 131L + s.charAt(c)) % PolyM; c += 1 }
+        while (c < s.length) { // code points, like polyHash
+          val cp = s.codePointAt(c)
+          acc = (acc * 131L + cp) % PolyM
+          c += Character.charCount(cp)
+        }
         if (k < n - 1) acc = (acc * 131L + 32L) % PolyM
         k += 1
       }

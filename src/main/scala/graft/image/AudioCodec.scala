@@ -35,6 +35,11 @@ object AudioCodec {
     val n = parts(1).toInt
     val period = parts(2).toInt
     val amp = parts(3).toInt
+    // refs can be hand-authored data, not just ref() output — enforce
+    // the invariant HERE (period 0/1 would divide by zero below; odd
+    // periods silently break the closed-form feature contract)
+    require(period >= 2 && period % 2 == 0, s"period $period must be even >= 2: $mediaRef")
+    require(n >= 0, s"negative sample count in $mediaRef")
     val half = period / 2
     val out = new Array[Byte](8 + 2 * n)
     System.arraycopy(Magic, 0, out, 0, 4)

@@ -403,17 +403,7 @@ object Dedup {
   def incrementalIngestOracleSql(corpusPred: String, bands: Int, rowsPerBand: Int,
                                  threshold: Double,
                                  maxBucketSize: Int = MaxBucketSize): String = {
-    import graft.functions.SketchKernels.{PolyM, permA, permB}
-    val sigCols = (0 until bands * rowsPerBand).map { p =>
-      s"list_min(list_transform(hs, x -> (${permA(p)} * x + ${permB(p)}) % $PolyM)) AS s$p"
-    }.mkString(", ")
-    val bucketCols = (0 until bands).map { b =>
-      val fold = (0 until rowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
-        s"(($acc * 1000003 + s${b * rowsPerBand + r}) % $PolyM)"
-      }
-      s"$fold AS bk$b"
-    }.mkString(", ")
-    val bandStructs = (0 until bands).map(b => s"{'band': $b, 'bucket': bk$b}").mkString(", ")
+    val (sigCols, bucketCols, bandStructs) = minhashBandSql(bands, rowsPerBand)
     s"""WITH base AS (SELECT doc_id, text, ($corpusPred) AS is_corpus FROM documents),
        |t AS (SELECT doc_id, is_corpus, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM base),
        |h AS (SELECT doc_id, is_corpus, $polyHashListSql AS hs FROM t WHERE len(toks) > 0),
@@ -578,16 +568,19 @@ object Dedup {
     * reliable `checkpoint()` (HDFS/object-store dir) or persist+count.
     */
   def nearDupComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    // canonical lo < hi edges, deduped and materialized ONCE (the
-    // upstream pair query must not be recomputed every round)
-    var edges = pairs.select(
+    // canonicalized pair list materialized ONCE — BOTH the edge set
+    // and the node set derive from this checkpoint, so the upstream
+    // candidate-pair query runs exactly once (deriving nodes from the
+    // raw `pairs` would re-run it when the result is consumed)
+    val base = pairs.select(
         least(col("id_a"), col("id_b")).as("lo"),
         greatest(col("id_a"), col("id_b")).as("hi"))
-      .where(col("lo") =!= col("hi"))
       .distinct()
       .localCheckpoint(true)
+    val nodes = base.select(col("lo").as("id"))
+      .union(base.select(col("hi").as("id"))).distinct()
+    // self-loops carry no connectivity (their ids stay in `nodes`)
+    var edges = base.where(col("lo") =!= col("hi"))
 
     // order-independent edge-set fingerprint, one job (hash sum in
     // decimal(38,0): a long sum overflows under ANSI mode)
@@ -695,8 +688,11 @@ object Dedup {
     s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
       s"CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE), 6)"
 
-  def minhashLshOracleSql(bands: Int, rowsPerBand: Int, threshold: Double,
-                          maxBucketSize: Int = MaxBucketSize): String = {
+  /** SQL fragments of the poly-MinHash signature/band fold, generated
+    * ONCE for every oracle that bands (the self-join LSH oracle and
+    * the cross-set ingest oracle must never drift apart).
+    */
+  private def minhashBandSql(bands: Int, rowsPerBand: Int): (String, String, String) = {
     import graft.functions.SketchKernels.{PolyM, permA, permB}
     val sigCols = (0 until bands * rowsPerBand).map { p =>
       s"list_min(list_transform(hs, x -> (${permA(p)} * x + ${permB(p)}) % $PolyM)) AS s$p"
@@ -708,6 +704,12 @@ object Dedup {
       s"$fold AS bk$b"
     }.mkString(", ")
     val bandStructs = (0 until bands).map(b => s"{'band': $b, 'bucket': bk$b}").mkString(", ")
+    (sigCols, bucketCols, bandStructs)
+  }
+
+  def minhashLshOracleSql(bands: Int, rowsPerBand: Int, threshold: Double,
+                          maxBucketSize: Int = MaxBucketSize): String = {
+    val (sigCols, bucketCols, bandStructs) = minhashBandSql(bands, rowsPerBand)
     // verify over the DISTINCT token-hash sets (the Spark side merges
     // sorted hash sets; collisions collapse identically here)
     s"""WITH t AS ($toksSql),

@@ -95,10 +95,15 @@ object Sessionize {
         (userId: Long, it: Iterator[Event], state: GroupState[OpenSessions]) =>
           val wmUs = state.getCurrentWatermarkMs * 1000L
           val prior = state.getOption.map(_.sessions).getOrElse(Vector.empty)
-          // all times in exact MICROSECONDS (batch-twin parity)
-          val units = (prior ++ it.map { e =>
-            val t = micros(e.ts); SessionState(t, t, 1, e.value)
-          }).sortBy(s => (s.start, s.lastTs))
+          // all times in exact MICROSECONDS (batch-twin parity). The
+          // event_id tiebreak keeps the fold order of SAME-TIMESTAMP
+          // events deterministic (double addition does not
+          // re-associate, so iterator order would otherwise leak into
+          // total_value's last ulp); prior intervals sort before
+          // singletons at an equal start.
+          val units = (prior.map(s => (s, Long.MinValue)) ++ it.map { e =>
+            val t = micros(e.ts); (SessionState(t, t, 1, e.value), e.event_id)
+          }).sortBy { case (s, tie) => (s.start, s.lastTs, tie) }.map(_._1)
           val merged = Vector.newBuilder[SessionState]
           var cur: SessionState = null
           units.foreach { u =>

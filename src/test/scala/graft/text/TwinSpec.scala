@@ -117,10 +117,15 @@ class TwinSpec extends AnyFunSuite {
     val chunks = spark.sql(
       "SELECT chunk_tokens(array('a','b','c','d','e'), 3, 1) AS c").collect().head.getSeq[String](0)
     assert(chunks == Seq("a b c", "c d e"), s"sql chunks: $chunks")
-    // parameter positions must be literals — a column there is an error
+    // parameter positions must be literals — a column there must raise
+    // the designed contract error, not a bare Catalyst eval failure
     val err = intercept[Exception](
       spark.sql("SELECT shingle_hashes(array('a'), id) FROM range(1)").collect())
-    assert(err.getMessage != null)
+    assert(err.getMessage.contains("LITERAL"), s"unhelpful error: ${err.getMessage}")
+    // and wrong arity names the function, not an index
+    val err2 = intercept[Exception](
+      spark.sql("SELECT minhash_signature(array('a'))").collect())
+    assert(err2.getMessage.contains("minhash_signature takes 2"), s"got: ${err2.getMessage}")
   }
 
   test("normalization idempotence: enhanced always; basic modulo its double-space quirk") {
