@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.SketchKernels
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck laws for the pure sketch kernels — no Spark session:
+  * the rolling shingle fold equals compose-then-hash on arbitrary
+  * Unicode INCLUDING supplementary-plane characters (the code-point
+  * convention the DuckDB oracles enumerate), and chunking partitions
+  * the token sequence exactly.
+  */
+object SketchKernelProps extends Properties("graft.operators.kernels") {
+
+  // words over hostile alphabets: Arabic, ASCII, combining marks, and
+  // genuine non-BMP code points (emoji + math alphanumerics)
+  private val word: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf("نظام", "محكمة", "abc", "x", "tok1", "ّ"),
+    2 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+    1 -> Gen.oneOf("😀", "𝐀a", "é́", "字🤖"))
+  private val words: Gen[List[String]] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word))
+
+  private def arr(ws: Seq[String]): GenericArrayData =
+    new GenericArrayData(ws.map(w => UTF8String.fromString(w): Any).toArray)
+
+  private def longs(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[Long] =
+    (0 until a.numElements()).map(a.getLong)
+
+  property("shingleHashes == sorted distinct polyHash of space-joined shingles") =
+    Prop.forAll(words, Gen.chooseNum(1, 4)) { (ws, n) =>
+      val got = longs(SketchKernels.shingleHashes(arr(ws), n))
+      val want =
+        if (ws.length < n) Seq.empty
+        else ws.sliding(n).map(s =>
+          SketchKernels.polyHash(UTF8String.fromString(s.mkString(" "))))
+          .toSeq.distinct.sorted
+      got == want
+    }
+
+  property("polyHash folds code points (surrogate pairs are ONE term)") =
+    Prop.forAll(Gen.oneOf(0x1F600, 0x1D400, 0x20000, 0x10FFFF)) { cp =>
+      val s = new String(Character.toChars(cp))
+      SketchKernels.polyHash(UTF8String.fromString(s)) == cp.toLong % SketchKernels.PolyM
+    }
+
+  property("chunkTokens partitions: concatenation order preserved, bounds respected") =
+    Prop.forAll(words.suchThat(_.nonEmpty), Gen.chooseNum(2, 8), Gen.chooseNum(0, 1)) {
+      (ws, size, ov) =>
+        val chunks = {
+          val a = SketchKernels.chunkTokens(arr(ws), size, ov)
+          (0 until a.numElements()).map(a.getUTF8String(_).toString)
+        }
+        val tokenLists = chunks.map(_.split(" ").toList)
+        val step = size - ov
+        // every chunk except the last is exactly `size` tokens; chunk i
+        // starts at i*step; the union covers the sequence in order
+        tokenLists.zipWithIndex.forall { case (c, i) =>
+          c == ws.slice(i * step, math.min(i * step + size, ws.length)) &&
+            (i == tokenLists.length - 1 || c.length == size)
+        } && tokenLists.last.nonEmpty &&
+          (tokenLists.length == 1 || (tokenLists.length - 2) * step + size < ws.length + step)
+    }
+}
