@@ -24,13 +24,18 @@ object ComponentsProfile {
       .where(col("id_a") =!= col("id_b"))
     val edges = chain.union(clusterEdges).localCheckpoint(true)
     val n = edges.count()
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val t0 = System.nanoTime()
-    val labels = Dedup.nearDupComponents(edges, maxIters = 60).localCheckpoint(true)
+    // result arrives pre-materialized (eager labels checkpoint)
+    val labels = Dedup.nearDupComponents(edges, maxIters = 60)
     val sec = (System.nanoTime() - t0) / 1e9
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore
     val nodes = labels.count()
     val comps = labels.where(col("id") === col("label")).count()
     val chainOk = labels.where(col("id") <= chainLen && col("label") === 0).count() == chainLen + 1
-    println(f"[stress] edges=$n nodes=$nodes components=$comps chain_resolved=$chainOk sec=$sec%.1f")
+    println(f"[stress] edges=$n nodes=$nodes components=$comps chain_resolved=$chainOk sec=$sec%.1f new_persistent_rdds=${leaked.size}")
+    assert(leaked.size <= 1,
+      s"components leaked ${leaked.size} persistent RDDs (expected only the labels checkpoint)")
   }
 
   def main(args: Array[String]): Unit = {
@@ -58,6 +63,8 @@ object ComponentsProfile {
       val labels = t("contraction")(Dedup.nearDupComponents(pairs))
       println(s"[components] n_nodes=${labels.count()} " +
         s"n_clusters=${labels.where(col("id") === col("label")).count()}")
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(pairs)
     }
     spark.stop()
   }
