@@ -839,22 +839,11 @@ object SparkEntry {
           "TRUE AS success FROM documents"
       },
 
-      "dd_embed_components" -> {
-        val pairs =
-          "SELECT id_a, id_b FROM (WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-            "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-            "round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine " +
-            "FROM t a JOIN t b ON a.vec_id < b.vec_id AND b.vec_id <= a.vec_id + 50) " +
-            "SELECT id_a, id_b FROM p WHERE cosine >= 0.3) q"
-        Dedup.componentsOracleSql(pairs)
-      },
+      "dd_embed_components" -> Dedup.componentsOracleSql(
+        Similarity.embedCosinePairsOracleSql(idWindow = 50, threshold = 0.3, idsOnly = true)),
 
       "dd_embed_cosine" ->
-        ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-          "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-          "round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine " +
-          "FROM t a JOIN t b ON a.vec_id < b.vec_id AND b.vec_id <= a.vec_id + 50) " +
-          "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3"),
+        Similarity.embedCosinePairsOracleSql(idWindow = 50, threshold = 0.3),
 
       "ann_cosine_topk" ->
         ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8), " +

@@ -125,6 +125,23 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** DuckDB oracle of embedCosinePairs, generated from the same
+    * constants as the operator (round-3 review: the SQL was duplicated
+    * verbatim in two oracles — the only remaining place an operator
+    * and its oracle could drift apart). `idsOnly = true` yields the
+    * edge-list subquery form the components oracle embeds.
+    */
+  def embedCosinePairsOracleSql(idWindow: Int, threshold: Double,
+                                idsOnly: Boolean = false): String = {
+    val full =
+      "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine " +
+        s"FROM t a JOIN t b ON a.vec_id < b.vec_id AND b.vec_id <= a.vec_id + $idWindow) " +
+        s"SELECT id_a, id_b${if (idsOnly) "" else ", cosine"} FROM p WHERE cosine >= $threshold"
+    if (idsOnly) s"SELECT id_a, id_b FROM ($full) q" else full
+  }
+
   /** Embedding-cosine near-dup at scale: candidates share an LSH
     * bucket (one shuffle keyed on the bucket), verified with the exact
     * cosine. Same hot-bucket cap rationale as Dedup.MaxBucketSize.
