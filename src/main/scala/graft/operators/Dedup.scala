@@ -332,6 +332,16 @@ object Dedup {
   private def coldBandedPoly(docs: DataFrame, extra: Seq[String],
                              bands: Int, rowsPerBand: Int,
                              maxBucketSize: Int): (DataFrame, DataFrame) = {
+    val (withSketch, banded) = bandedPoly(docs, extra, bands, rowsPerBand)
+    (withSketch, dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize))
+  }
+
+  /** Sketches + banded buckets WITHOUT the hot-bucket cap — callers
+    * pick the capping policy (dropHotBuckets for pair mining,
+    * corpus-side representative sampling for the ingest gate).
+    */
+  private def bandedPoly(docs: DataFrame, extra: Seq[String],
+                         bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val keyCols = col("doc_id") +: extra.map(col)
     val withSketch = docs.select(
       keyCols :+ tokensCol(col("text")).as("toks_str") :+ tokenHashesCol(col("text")).as("toks"): _*)
@@ -339,7 +349,7 @@ object Dedup {
       .withColumn("bks", minhashPolyBuckets(col("toks_str"), bands, rowsPerBand))
       .where(col("bks").isNotNull)
       .select(keyCols :+ posexplode(col("bks")).as(Seq("band", "bucket")): _*)
-    (withSketch, dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize))
+    (withSketch, banded)
   }
 
   /** Token-bounded training chunks with overlap over the ORDERED,
@@ -364,6 +374,17 @@ object Dedup {
     * At scale the corpus side's banded table is the big side; the
     * join is a plain shuffled equi-join on (band, bucket) and AQE
     * broadcasts the (usually much smaller) new batch at runtime.
+    *
+    * Hot-bucket policy — this path is an ADMISSION decision, not pair
+    * mining, so whole hot buckets are never dropped (round-3 advice: a
+    * new doc near-duplicating a template repeated > maxBucketSize
+    * times in the corpus would lose every shared bucket and be
+    * admitted — heavy duplication is exactly when the gate must fire).
+    * Instead the CORPUS side keeps the `maxBucketSize` lowest-doc_id
+    * REPRESENTATIVES per (band, bucket) — any near-dup of the bucket's
+    * contents still meets a representative and verifies — and the new
+    * side is never capped. Candidate volume per bucket stays
+    * O(maxBucketSize * new-side rows), linear in the batch.
     */
   def incrementalIngestFilter(docs: DataFrame, isCorpus: Column,
                               bands: Int, rowsPerBand: Int, threshold: Double,
@@ -377,10 +398,13 @@ object Dedup {
       .withColumn("digest", md5(col("text")))
       .join(corpusDigests, Seq("digest"), "left_anti")
 
-    val (withSketch, cold) = coldBandedPoly(tagged, Seq("is_corpus"),
-      bands, rowsPerBand, maxBucketSize)
-    val cands = cold.where(!col("is_corpus")).as("a")
-      .join(cold.where(col("is_corpus")).as("b"),
+    val (withSketch, banded) = bandedPoly(tagged, Seq("is_corpus"), bands, rowsPerBand)
+    val wRep = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    val corpusReps = banded.where(col("is_corpus"))
+      .withColumn("rn", row_number().over(wRep))
+      .where(col("rn") <= maxBucketSize).drop("rn")
+    val cands = banded.where(!col("is_corpus")).as("a")
+      .join(corpusReps.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("id_new"), col("b.doc_id").as("id_old"))
       .distinct()
@@ -411,10 +435,11 @@ object Dedup {
        |bk AS (SELECT doc_id, is_corpus, ht, $bucketCols FROM sig),
        |banded AS (SELECT doc_id, is_corpus, ht, u['band'] AS band, u['bucket'] AS bucket
        |  FROM bk, UNNEST([$bandStructs]) AS un(u)),
-       |cold AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucketSize),
+       |reps AS (SELECT * FROM banded WHERE is_corpus
+       |  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= $maxBucketSize),
        |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
-       |  FROM cold a JOIN cold b ON a.band = b.band AND a.bucket = b.bucket
-       |  WHERE NOT a.is_corpus AND b.is_corpus),
+       |  FROM banded a JOIN reps b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE NOT a.is_corpus),
        |neardup AS (SELECT DISTINCT c.id_new FROM cand c
        |  JOIN sig sa ON sa.doc_id = c.id_new
        |  JOIN sig sb ON sb.doc_id = c.id_old

@@ -202,6 +202,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(5L, 7L), s"kept: $kept")
   }
 
+  test("incremental ingest gate: near-dup of a template repeated beyond the bucket cap is still rejected") {
+    // round-3 advice: dropping whole hot buckets turned heavy corpus
+    // duplication into an admission bypass — every (band, bucket) the
+    // new doc shared with a >cap template was discarded, and the doc
+    // sailed through. Corpus-side representative sampling must keep
+    // the gate closed: 20 identical corpus copies vs cap 4.
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpusCopies = (0 until 20).map(i => (i * 2L, template, "en")) // even = corpus
+    val docs = (corpusCopies ++ Seq(
+      (101L, template.replaceFirst("alpha", "lambda"), "en"), // near dup (NOT exact) -> drop
+      (103L, "completely unrelated fresh content arrives today", "en") // keep
+    )).toDF("doc_id", "text", "lang")
+    val kept = Dedup.incrementalIngestFilter(docs, col("doc_id") % 2 === 0,
+        bands = 8, rowsPerBand = 4, threshold = 0.8, maxBucketSize = 4)
+      .as[Long].collect().toSet
+    assert(kept == Set(103L), s"kept: $kept (near-dup of the hot template must be rejected)")
+  }
+
   test("shingle hash kernel == polyHash of the Column-twin shingle strings") {
     // the native single-pass kernel (no shingle strings built) must
     // hash exactly what the declarative twin enumerates
