@@ -67,6 +67,35 @@ object SketchKernels {
     h
   }
 
+  /** Second, independent polynomial base. VERIFY-side token/shingle
+    * sets combine the base-131 and base-1000003 folds into one 62-bit
+    * value ((hA << 31) + hB, exact in both Long and DuckDB BIGINT:
+    * hA, hB < 2^31) — round-3 advice: at ~100k distinct tokens the
+    * lone 31-bit family takes birthday collisions that perturb the
+    * verified Jaccard, and because the oracle shares the family,
+    * oracle equality cannot see the drift. Colliding on BOTH bases at
+    * once is ~2^-62 per pair. The 31-bit single-fold family remains
+    * where the cross-engine MINHASH restatement needs sub-2^63
+    * permutation arithmetic (permA * h + permB with h < 2^31).
+    */
+  val Poly2Base = 1000003L
+
+  /** Base-Poly2Base twin of polyHash (code-point fold). */
+  def polyHash2(t: UTF8String): Long = {
+    val s = t.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * Poly2Base + cp) % PolyM
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** The 62-bit combined verify-side hash of a token/shingle string. */
+  def combinedHash(t: UTF8String): Long = (polyHash(t) << 31) + polyHash2(t)
+
   /** Poly-MinHash signature: sig(p) = min over tokens of
     * (A_p * polyHash(token) + B_p) mod PolyM. Token hashed once; one
     * multiply-add per permutation.
@@ -134,13 +163,14 @@ object SketchKernels {
     out
   }
 
-  /** Poly hashes of all word n-gram shingles of an ordered word array,
-    * SORTED DISTINCT (the contract sortedLongJaccard merges on). Each
-    * shingle's hash equals polyHash of the words joined with a single
-    * space — computed by rolling the fold straight across the words
-    * and the joiner (char 32), so no shingle string is ever built.
-    * One pass over each word per shingle => O(words * n) chars total.
-    * Fewer than n words => empty (the "too short to shingle" marker).
+  /** 62-bit combined poly hashes of all word n-gram shingles of an
+    * ordered word array, SORTED DISTINCT (the contract
+    * sortedLongJaccard merges on). Each shingle's hash equals
+    * combinedHash of the words joined with a single space — BOTH base
+    * folds rolled straight across the words and the joiner (char 32),
+    * so no shingle string is ever built. One pass over each word per
+    * shingle => O(words * n) chars total. Fewer than n words => empty
+    * (the "too short to shingle" marker).
     *
     * (A Column-expr twin of this — transform(sequence(...), i =>
     * array_join(slice(w, i+1, n))) — re-evaluates the word array once
@@ -160,20 +190,25 @@ object SketchKernels {
     val h = new Array[Long](nw - n + 1)
     var i = 0
     while (i <= nw - n) {
-      var acc = 0L
+      var accA = 0L
+      var accB = 0L
       var k = 0
       while (k < n) {
         val s = strs(i + k)
         var c = 0
-        while (c < s.length) { // code points, like polyHash
+        while (c < s.length) { // code points, like polyHash/polyHash2
           val cp = s.codePointAt(c)
-          acc = (acc * 131L + cp) % PolyM
+          accA = (accA * 131L + cp) % PolyM
+          accB = (accB * Poly2Base + cp) % PolyM
           c += Character.charCount(cp)
         }
-        if (k < n - 1) acc = (acc * 131L + 32L) % PolyM
+        if (k < n - 1) {
+          accA = (accA * 131L + 32L) % PolyM
+          accB = (accB * Poly2Base + 32L) % PolyM
+        }
         k += 1
       }
-      h(i) = acc
+      h(i) = (accA << 31) + accB
       i += 1
     }
     java.util.Arrays.sort(h)

@@ -128,12 +128,9 @@ object Dedup {
     * hash collision collapses identically on both engines).
     */
   def ngramJaccardOracleSql(n: Int, idWindow: Int, threshold: Double): String = {
-    import graft.functions.SketchKernels.PolyM
     // w[i] || ' ' || w[i+1] || ... (DuckDB lists are 1-based)
     val shingle = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
-    val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      raw"list_transform(regexp_extract_all(s, '[\s\S]'), ch -> CAST(unicode(ch) AS BIGINT))), " +
-      s"(a, b) -> (a * 131 + b) % $PolyM)"
+    val hash = combinedHashSql("s")
     val jac = "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
     s"""WITH t AS (SELECT doc_id, lang,
@@ -170,20 +167,31 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
-  /** Sorted distinct cross-engine poly hashes of the word-SET tokens
-    * (ShingleHashes at width 1 — post-hash dedupe ≡ distinct words
-    * then hash, collisions collapsing identically in DuckDB).
+  /** Sorted distinct cross-engine 62-bit combined poly hashes of the
+    * word-SET tokens (ShingleHashes at width 1 — post-hash dedupe ≡
+    * distinct words then hash, collisions collapsing identically in
+    * DuckDB). 62-bit per round-3 advice: verify-side sets need
+    * collision fidelity the lone 31-bit family lacks at ~100k tokens.
     */
   def tokenHashesCol(text: Column): Column = shingleHashesCol(text, 1)
 
-  /** DuckDB face of tokenHashesCol over a word list `w`. */
-  private[operators] def tokenHashesSql(w: String): String = {
+  /** One base-`base` code-point poly fold over a string expr (DuckDB). */
+  private def polyFoldSql(expr: String, base: Long): String = {
     import graft.functions.SketchKernels.PolyM
-    s"list_distinct(list_transform($w, s -> " +
-      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      raw"list_transform(regexp_extract_all(s, '[\s\S]'), ch -> CAST(unicode(ch) AS BIGINT))), " +
-      s"(a, b) -> (a * 131 + b) % $PolyM)))"
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      raw"list_transform(regexp_extract_all($expr, '[\s\S]'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * $base + b) % $PolyM)"
   }
+
+  /** DuckDB twin of SketchKernels.combinedHash: (hA << 31) + hB with
+    * both addends < 2^31, exact in BIGINT.
+    */
+  private def combinedHashSql(expr: String): String =
+    s"(${polyFoldSql(expr, 131L)} * 2147483648 + ${polyFoldSql(expr, graft.functions.SketchKernels.Poly2Base)})"
+
+  /** DuckDB face of tokenHashesCol over a word list `w`. */
+  private[operators] def tokenHashesSql(w: String): String =
+    s"list_distinct(list_transform($w, s -> ${combinedHashSql("s")}))"
 
   /** Windowed n-gram (word-set) Jaccard near-dup pairs: candidate pairs
     * restricted to same-language docs within an id window (the exact
@@ -430,8 +438,8 @@ object Dedup {
     val (sigCols, bucketCols, bandStructs) = minhashBandSql(bands, rowsPerBand)
     s"""WITH base AS (SELECT doc_id, text, ($corpusPred) AS is_corpus FROM documents),
        |t AS (SELECT doc_id, is_corpus, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM base),
-       |h AS (SELECT doc_id, is_corpus, $polyHashListSql AS hs FROM t WHERE len(toks) > 0),
-       |sig AS (SELECT doc_id, is_corpus, list_distinct(hs) AS ht, $sigCols FROM h),
+       |h AS (SELECT doc_id, is_corpus, $polyHashListSql AS hs, $combinedHashListSql AS hs2 FROM t WHERE len(toks) > 0),
+       |sig AS (SELECT doc_id, is_corpus, list_distinct(hs2) AS ht, $sigCols FROM h),
        |bk AS (SELECT doc_id, is_corpus, ht, $bucketCols FROM sig),
        |banded AS (SELECT doc_id, is_corpus, ht, u['band'] AS band, u['bucket'] AS bucket
        |  FROM bk, UNNEST([$bandStructs]) AS un(u)),
@@ -746,11 +754,15 @@ object Dedup {
     "SELECT doc_id, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), " +
       "x -> x <> '') AS toks FROM documents"
 
-  /** Per-token polynomial hash list (DuckDB twin of polyHash). */
+  /** Per-token 31-bit polynomial hash list (DuckDB twin of polyHash) —
+    * feeds the MINHASH permutations, which need sub-2^63 arithmetic.
+    */
   private def polyHashListSql: String =
-    "list_transform(toks, tk -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      raw"list_transform(regexp_extract_all(tk, '[\s\S]'), ch -> CAST(unicode(ch) AS BIGINT))), " +
-      s"(a, b) -> (a * 131 + b) % ${graft.functions.SketchKernels.PolyM}))"
+    s"list_transform(toks, tk -> ${polyFoldSql("tk", 131L)})"
+
+  /** Per-token 62-bit combined hash list — feeds the VERIFY sets. */
+  private def combinedHashListSql: String =
+    s"list_transform(toks, tk -> ${combinedHashSql("tk")})"
 
   private def jaccardSql(a: String, b: String): String =
     s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
@@ -781,8 +793,8 @@ object Dedup {
     // verify over the DISTINCT token-hash sets (the Spark side merges
     // sorted hash sets; collisions collapse identically here)
     s"""WITH t AS ($toksSql),
-       |h AS (SELECT doc_id, $polyHashListSql AS hs FROM t WHERE len(toks) > 0),
-       |sig AS (SELECT doc_id, list_distinct(hs) AS ht, $sigCols FROM h),
+       |h AS (SELECT doc_id, $polyHashListSql AS hs, $combinedHashListSql AS hs2 FROM t WHERE len(toks) > 0),
+       |sig AS (SELECT doc_id, list_distinct(hs2) AS ht, $sigCols FROM h),
        |bk AS (SELECT doc_id, ht, $bucketCols FROM sig),
        |banded AS (SELECT doc_id, ht, u['band'] AS band, u['bucket'] AS bucket
        |  FROM bk, UNNEST([$bandStructs]) AS un(u)),

@@ -220,7 +220,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(103L), s"kept: $kept (near-dup of the hot template must be rejected)")
   }
 
-  test("shingle hash kernel == polyHash of the Column-twin shingle strings") {
+  test("shingle hash kernel == combinedHash of the Column-twin shingle strings") {
     // the native single-pass kernel (no shingle strings built) must
     // hash exactly what the declarative twin enumerates
     val df = corpus().union(Seq(
@@ -231,7 +231,7 @@ class OperatorsSpec extends AnyFunSuite {
     val twin = df.select($"doc_id", Dedup.shinglesCol($"text", 3).as("s"))
       .as[(Long, Seq[String])].collect().toMap
     twin.foreach { case (id, shingles) =>
-      val want = shingles.map(s => graft.functions.SketchKernels.polyHash(
+      val want = shingles.map(s => graft.functions.SketchKernels.combinedHash(
         org.apache.spark.unsafe.types.UTF8String.fromString(s))).distinct.sorted
       assert(native(id) == want, s"doc $id: native ${native(id).take(5)} vs twin ${want.take(5)}")
     }

@@ -28,21 +28,31 @@ object SketchKernelProps extends Properties("graft.operators.kernels") {
   private def longs(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[Long] =
     (0 until a.numElements()).map(a.getLong)
 
-  property("shingleHashes == sorted distinct polyHash of space-joined shingles") =
+  property("shingleHashes == sorted distinct 62-bit combinedHash of space-joined shingles") =
     Prop.forAll(words, Gen.chooseNum(1, 4)) { (ws, n) =>
       val got = longs(SketchKernels.shingleHashes(arr(ws), n))
       val want =
         if (ws.length < n) Seq.empty
         else ws.sliding(n).map(s =>
-          SketchKernels.polyHash(UTF8String.fromString(s.mkString(" "))))
+          SketchKernels.combinedHash(UTF8String.fromString(s.mkString(" "))))
           .toSeq.distinct.sorted
       got == want
     }
 
-  property("polyHash folds code points (surrogate pairs are ONE term)") =
+  property("combinedHash packs exactly ((polyHash << 31) + polyHash2), both sub-2^31") =
+    Prop.forAll(word) { w =>
+      val u = UTF8String.fromString(w)
+      val (a, b) = (SketchKernels.polyHash(u), SketchKernels.polyHash2(u))
+      0 <= a && a < SketchKernels.PolyM && 0 <= b && b < SketchKernels.PolyM &&
+        SketchKernels.combinedHash(u) == (a << 31) + b &&
+        (SketchKernels.combinedHash(u) >> 31) == a // minhash can recover the 31-bit face
+    }
+
+  property("polyHash/polyHash2 fold code points (surrogate pairs are ONE term)") =
     Prop.forAll(Gen.oneOf(0x1F600, 0x1D400, 0x20000, 0x10FFFF)) { cp =>
       val s = new String(Character.toChars(cp))
-      SketchKernels.polyHash(UTF8String.fromString(s)) == cp.toLong % SketchKernels.PolyM
+      SketchKernels.polyHash(UTF8String.fromString(s)) == cp.toLong % SketchKernels.PolyM &&
+        SketchKernels.polyHash2(UTF8String.fromString(s)) == cp.toLong % SketchKernels.PolyM
     }
 
   property("chunkTokens partitions: concatenation order preserved, bounds respected") =
