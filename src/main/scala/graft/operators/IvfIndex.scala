@@ -47,24 +47,27 @@ object IvfIndex {
     Index(cents, lake.read(spark, s"${name}_vectors"))
   }
 
-  /** Top-k against the index. The probed-cell set (<= |queries| *
-    * nProbe ints, queries are the broadcast-small side by contract) is
-    * collected and pushed into the scan as a STATIC `cell IN (...)`
-    * filter, so a partition-by-cell layout prunes unprobed cells at
-    * the source instead of after the read.
+  /** Top-k against the index. Only the DISTINCT probed cell ids (<=
+    * |queries| * nProbe ints, usually far fewer) round-trip through
+    * the driver to become a STATIC `cell IN (...)` scan filter, so a
+    * partition-by-cell layout prunes unprobed cells at the source
+    * instead of after the read. The query rows themselves stay
+    * distributed on the broadcast side — the round-3 form collected
+    * the exploded plan (each query's full embedding duplicated nProbe
+    * times on the driver), a needless OOM risk at moderate query
+    * counts. Cost: the upstream `queries` plan evaluates twice (a
+    * cells-only pruned pass + the join side) — the standard multi-use
+    * trade, cheap because the probe pass prunes to one array column.
     */
   def queryTopK(idx: Index, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val spark = queries.sparkSession
     val qPlan = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       Similarity.normCol(col("embedding")).as("q_nrm"),
       explode(Similarity.ivfProbeCellsCol(col("embedding"), idx.centroids, nProbe)).as("cell"))
-    // evaluate the query side ONCE: the collected rows feed both the
-    // probed-cell scan filter and the broadcast join side (otherwise
-    // the probe assignment and any upstream query plan run twice)
-    val qRows = qPlan.collect()
-    val probed = qRows.map(_.getAs[Int]("cell")).distinct
-    val q = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), qPlan.schema)
+    val probed = queries
+      .select(explode(Similarity.ivfProbeCellsCol(col("embedding"), idx.centroids, nProbe))
+        .as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val q = qPlan
     val c = idx.assigned.where(col("cell").isin(probed.map(Int.box): _*))
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
