@@ -98,6 +98,53 @@ object EventsStream {
       }
   }
 
+  /** BOUNDED-STATE streaming dedup: the documented production switch
+    * for unbounded key cardinality (dedupStream's NoTimeout marker set
+    * grows forever — round-3 advice asked for the variant to exist and
+    * be tested, not just described). A key's marker expires once the
+    * watermark passes (first admitted event-time + ttlMs): duplicates
+    * inside that horizon are dropped, the key re-admits after — global
+    * dedup traded for dedup-within-lateness, state bounded by the key
+    * count active inside one TTL window. Timeouts ride Spark's
+    * event-time timeout off the `watermarkDelay` watermark, so expiry
+    * is driven by EVENT time, deterministic under replay.
+    */
+  def dedupStreamTtl(events: Dataset[Sessionize.Event], watermarkDelay: String,
+                     ttlMs: Long): Dataset[FirstEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      // state = the key's expiry target (first admitted event-time +
+      // ttl, in ms). It must be STORED, not only armed: Spark clears a
+      // key's event-time timer on every function invocation, so a
+      // suppressed duplicate would silently disarm the timeout unless
+      // the handler re-arms it from the stored target each time.
+      .flatMapGroupsWithState[Long, FirstEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), it: Iterator[Sessionize.Event],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          // max with watermark+1: setTimeoutTimestamp rejects targets
+          // the watermark already passed (a key whose expiry lapsed
+          // mid-batch gets one-batch-lifetime state, not a crash)
+          def arm(target: Long): Unit =
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) { // duplicate within the TTL horizon
+            arm(state.get)
+            Iterator.empty
+          } else if (!it.hasNext) Iterator.empty
+          else {
+            val e = it.minBy(x => (Sessionize.micros(x.ts), x.event_id))
+            val target = Sessionize.micros(e.ts) / 1000L + ttlMs
+            state.update(target)
+            arm(target)
+            Iterator.single(FirstEvent(e.user_id, e.event_type, e.event_id, e.ts, e.value))
+          }
+      }
+  }
+
   /** Batch twin: earliest (ts, event_id) per key — the deterministic
     * statement of first arrival under time-ordered ingestion. One
     * window exchange keyed on the dedup key.
@@ -114,14 +161,23 @@ object EventsStream {
   /** Run the streaming dedup over a parquet dir (one file per
     * micro-batch, arrival order = file modification order).
     */
-  def runDedupOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def runDedupOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runDedupWith(spark, dir, queryName, dedupStream)
+
+  /** Same harness for the TTL variant. */
+  def runDedupTtlOnce(spark: SparkSession, dir: String, queryName: String,
+                      watermarkDelay: String, ttlMs: Long): DataFrame =
+    runDedupWith(spark, dir, queryName, dedupStreamTtl(_, watermarkDelay, ttlMs))
+
+  private def runDedupWith(spark: SparkSession, dir: String, queryName: String,
+                           dedup: Dataset[Sessionize.Event] => Dataset[FirstEvent]): DataFrame = {
     import spark.implicits._
     val stream = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Sessionize.Event]
-    val q = dedupStream(stream).writeStream
+    val q = dedup(stream).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)

@@ -131,6 +131,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream dedup != batch twin: got $got want $want")
   }
 
+  test("streaming exact-dedup: late-first-arrival DIVERGENCE from the batch twin is exactly as documented") {
+    import spark.implicits._
+    // dedupStream keeps the first-ARRIVED event per key; dedupBatch
+    // keeps the earliest EVENT-TIME one. When a later micro-batch
+    // carries a globally earlier event, the two legitimately diverge —
+    // round-3 advice: pin the divergence case instead of only
+    // describing it, so a refactor that silently changes either side
+    // of the contract fails a test.
+    val base = java.sql.Timestamp.valueOf("2026-04-01 00:00:00").getTime
+    def ev(id: Long, offMin: Int) =
+      Sessionize.Event(id, new java.sql.Timestamp(base + offMin * 60000L), 1L, "click", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-div").toString
+    def write(evs: Seq[Sessionize.Event]): Unit =
+      evs.toDF().select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit("").as("props")).coalesce(1).write.mode("append").parquet(dir)
+    write(Seq(ev(1, 10))) // batch 1: the key's first ARRIVAL
+    Thread.sleep(1500)
+    write(Seq(ev(2, 0))) // batch 2: globally EARLIER event arrives later
+    val got = EventsStream.runDedupOnce(spark, dir, s"sdedupdiv_${System.nanoTime()}")
+      .select(col("event_id")).as[Long].collect().toSet
+    val batchTwin = EventsStream.dedupBatch(
+        spark.read.schema(EventsStream.eventsSchema).parquet(dir))
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(got == Set(1L), s"stream must keep the first-ARRIVED event: $got")
+    assert(batchTwin == Set(2L), s"batch twin must keep the earliest EVENT-TIME one: $batchTwin")
+  }
+
+  test("streaming exact-dedup TTL: within-horizon dups dropped, marker expires, key re-admits (bounded state)") {
+    import spark.implicits._
+    // dedupStreamTtl is the bounded-state production switch: marker
+    // lives until the watermark passes first-event-time + TTL. Fixture
+    // (TTL 60 min, watermark delay 10 min):
+    //   batch 1: key K at min 0            -> ADMIT (timer: min 60)
+    //   batch 2: K dup at min 30 + key X   -> K suppressed (inside
+    //            at min 300                   horizon); X admits;
+    //                                         watermark -> min 290
+    //   batch 3: key Y at min 310          -> Y admits; K has no data,
+    //                                         timer 60 < watermark 290
+    //                                         fires -> K state REMOVED
+    //   batch 4: K again at min 320        -> ADMIT (re-admission:
+    //                                         dedup-within-lateness,
+    //                                         not global dedup)
+    val base = java.sql.Timestamp.valueOf("2026-05-01 00:00:00").getTime
+    def ev(id: Long, user: Long, offMin: Int) =
+      Sessionize.Event(id, new java.sql.Timestamp(base + offMin * 60000L), user, "click", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-ttl").toString
+    def write(evs: Seq[Sessionize.Event]): Unit =
+      evs.toDF().select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit("").as("props")).coalesce(1).write.mode("append").parquet(dir)
+    write(Seq(ev(1, 1, 0)))
+    Thread.sleep(1500)
+    write(Seq(ev(2, 1, 30), ev(100, 2, 300)))
+    Thread.sleep(1500)
+    write(Seq(ev(200, 3, 310)))
+    Thread.sleep(1500)
+    write(Seq(ev(3, 1, 320)))
+    val got = EventsStream.runDedupTtlOnce(spark, dir, s"sdedupttl_${System.nanoTime()}",
+        watermarkDelay = "10 minutes", ttlMs = 60L * 60000L)
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(got == Set(1L, 100L, 200L, 3L),
+      s"TTL dedup: want dup 2 suppressed and key 1 re-admitted after expiry, got $got")
+  }
+
   test("sessionize: admissible out-of-order events ACROSS micro-batches bridge sessions (stream == batch)") {
     import spark.implicits._
     // ONE user, events split across two files so the second micro-batch
