@@ -19,13 +19,21 @@ object CompareCli {
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
     val sections = args.filter(_.startsWith("--")).map(_.drop(2)).toSet
-    def want(s: String) = sections.isEmpty || sections.contains(s)
 
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, sections)
+    spark.stop()
+  }
+
+  /** Report body, session-agnostic so `sbt test` can smoke it on the
+    * shared test session (empty `sections` = all).
+    */
+  def run(spark: SparkSession, sfDir: String, sections: Set[String]): Unit = {
+    def want(s: String) = sections.isEmpty || sections.contains(s)
 
     println("=" * 60)
     println("BACKEND COMPARISON RESULTS (sources as backends)")
@@ -56,6 +64,5 @@ object CompareCli {
       SparkEntry.queries("eval_envelope")(spark, sfDir)
         .orderBy("doc_id").show(5, truncate = false)
     }
-    spark.stop()
   }
 }

@@ -45,10 +45,13 @@ object ComponentsProfile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.contains("--stress")) {
-      stress(spark, chainLen = 100000L, clusters = 20000L)
-      spark.stop(); return
-    }
+    if (args.contains("--stress")) stress(spark, chainLen = 100000L, clusters = 20000L)
+    else run(spark, sfDir, passes = 2)
+    spark.stop()
+  }
+
+  /** Profile body, session-agnostic so `sbt test` can smoke it. */
+  def run(spark: SparkSession, sfDir: String, passes: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def t[A](what: String)(body: => A): A = {
       val t0 = System.nanoTime(); val r = body
@@ -56,7 +59,7 @@ object ComponentsProfile {
     }
     // warm
     Dedup.jaccardPairs(docs, 25, 0.8).count()
-    for (_ <- 0 until 2) {
+    for (_ <- 0 until passes) {
       val pairs = t("pairs")(
         Dedup.jaccardPairs(docs, 25, 0.8).localCheckpoint(true))
       println(s"[components] n_pairs=${pairs.count()}")
@@ -66,6 +69,5 @@ object ComponentsProfile {
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(pairs)
     }
-    spark.stop()
   }
 }

@@ -21,8 +21,12 @@ object SketchSmoke {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+    run(spark, n)
+    spark.stop()
+  }
 
+  /** Smoke body, session-agnostic so `sbt test` can run it small. */
+  def run(spark: SparkSession, n: Int): Unit = {
     val docs = spark.range(n).select(col("id").as("doc_id"),
       lit("en").as("lang"),
       // deterministic ~40-token docs; every 100th is a near-dup of its
@@ -67,7 +71,6 @@ object SketchSmoke {
       Similarity.annIvfTopK(emb, emb.where(col("vec_id") < 32), k = 10,
         nCells = 64, nProbe = 8).count()
     }
-    spark.stop()
   }
 
   /** ~40 deterministic tokens from a 5k vocab, parameterized so docs
