@@ -364,6 +364,14 @@ object SparkEntry {
       Dedup.incrementalIngestFilter(docs(s, dir), col("doc_id") % 2 === 0,
         bands = 8, rowsPerBand = 4, threshold = 0.8)),
 
+    // Order-sensitive ingest gate: same admission pipeline, but the
+    // similarity unit is word TRIGRAM shingles (dd_ngram_jaccard's
+    // unit) — docs sharing vocabulary but not phrasing pass, reworded
+    // near-dups are still rejected
+    "tp_ingest_ngram" -> ((s, dir) =>
+      Dedup.incrementalIngestFilter(docs(s, dir), col("doc_id") % 2 === 0,
+        bands = 8, rowsPerBand = 4, threshold = 0.5, shingleN = 3)),
+
     // Corpus vocabulary statistics: global token frequencies, top 20 —
     // explode is map-side, the count aggregates partially before the
     // one shuffle, and the top-k is a driver-sized TakeOrdered (no
@@ -791,6 +799,10 @@ object SparkEntry {
 
       "tp_incremental_ingest" -> Dedup.incrementalIngestOracleSql(
         corpusPred = "doc_id % 2 = 0", bands = 8, rowsPerBand = 4, threshold = 0.8),
+
+      "tp_ingest_ngram" -> Dedup.incrementalIngestOracleSql(
+        corpusPred = "doc_id % 2 = 0", bands = 8, rowsPerBand = 4, threshold = 0.5,
+        shingleN = 3),
 
       "dd_simhash" -> Dedup.simhashOracleSql(maxHamming = 4),
 

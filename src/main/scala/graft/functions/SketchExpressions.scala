@@ -123,6 +123,43 @@ object SketchKernels {
     */
   def minhashPolyBuckets(tokens: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val sig = minhashPoly(tokens, bands * rowsPerBand).asInstanceOf[UnsafeArrayData]
+    bandFold(sig, bands, rowsPerBand)
+  }
+
+  /** Poly-MinHash signature over COMBINED 62-bit hashes (ShingleHashes
+    * output): the base-131 fold occupies the upper 31 bits, so
+    * base = h >>> 31 recovers exactly the value minhashPoly would
+    * have fed the permutations — letting any pre-hashed sketch set
+    * ride the banded spine without re-materializing shingle strings.
+    * (Min over the DISTINCT hash set ≡ min over all occurrences, and a
+    * 62-bit collision collapses the pair on both engines, so this is
+    * oracle-exact; the DuckDB twin divides by 2^31.)
+    */
+  def minhashPolyFromCombined(hashes: ArrayData, perms: Int): ArrayData = {
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashes.numElements()
+    var ti = 0
+    while (ti < n) {
+      val base = hashes.getLong(ti) >>> 31
+      var p = 0
+      while (p < perms) {
+        val h = (permA(p) * base + permB(p)) % PolyM
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      ti += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Band buckets straight from combined 62-bit hashes. */
+  def minhashPolyBucketsFromCombined(hashes: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val sig = minhashPolyFromCombined(hashes, bands * rowsPerBand).asInstanceOf[UnsafeArrayData]
+    bandFold(sig, bands, rowsPerBand)
+  }
+
+  private def bandFold(sig: UnsafeArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -430,6 +467,39 @@ case class MinHashPolyBuckets(child: Expression, bands: Int, rowsPerBand: Int)
       s"""
          |if ($t.numElements() == 0) { ${ev.isNull} = true; }
          |else { ${ev.value} = graft.functions.SketchKernels.minhashPolyBuckets($t, $bands, $rowsPerBand); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Band-bucket array of the cross-engine poly-MinHash computed from
+  * COMBINED 62-bit hashes (ShingleHashes output) instead of token
+  * strings — the shingle-width face of the banded spine. Null/empty
+  * hash sets -> null, like MinHashPolyBuckets (an empty set banded on
+  * a sentinel would manufacture a hot bucket).
+  */
+case class MinHashPolyBucketsFromCombined(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_poly_buckets_from_combined"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null
+      else SketchKernels.minhashPolyBucketsFromCombined(arr, bands, rowsPerBand)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |if ($t.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.minhashPolyBucketsFromCombined($t, $bands, $rowsPerBand); }
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

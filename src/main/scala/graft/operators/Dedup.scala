@@ -347,17 +347,38 @@ object Dedup {
   /** Sketches + banded buckets WITHOUT the hot-bucket cap — callers
     * pick the capping policy (dropHotBuckets for pair mining,
     * corpus-side representative sampling for the ingest gate).
+    *
+    * `shingleN` picks the similarity unit: 1 = unigram word SET
+    * (buckets from token strings, the historical path); n > 1 = word
+    * n-gram shingles — ORDER-sensitive similarity — where both the
+    * verify set and the band buckets derive from one ShingleHashes
+    * pass (buckets via the >>> 31 base extraction, so no shingle
+    * string is ever materialized).
     */
   private def bandedPoly(docs: DataFrame, extra: Seq[String],
-                         bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+                         bands: Int, rowsPerBand: Int,
+                         shingleN: Int = 1): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val keyCols = col("doc_id") +: extra.map(col)
-    val withSketch = docs.select(
-      keyCols :+ tokensCol(col("text")).as("toks_str") :+ tokenHashesCol(col("text")).as("toks"): _*)
-    val banded = withSketch
-      .withColumn("bks", minhashPolyBuckets(col("toks_str"), bands, rowsPerBand))
-      .where(col("bks").isNotNull)
-      .select(keyCols :+ posexplode(col("bks")).as(Seq("band", "bucket")): _*)
-    (withSketch, banded)
+    if (shingleN == 1) {
+      val withSketch = docs.select(
+        keyCols :+ tokensCol(col("text")).as("toks_str") :+ tokenHashesCol(col("text")).as("toks"): _*)
+      val banded = withSketch
+        .withColumn("bks", minhashPolyBuckets(col("toks_str"), bands, rowsPerBand))
+        .where(col("bks").isNotNull)
+        .select(keyCols :+ posexplode(col("bks")).as(Seq("band", "bucket")): _*)
+      (withSketch, banded)
+    } else {
+      val withSketch = docs.select(
+        keyCols :+ shingleHashesCol(col("text"), shingleN).as("toks"): _*)
+      val bks = ColumnBridge.column(graft.functions.MinHashPolyBucketsFromCombined(
+        ColumnBridge.expression(col("toks")), bands, rowsPerBand))
+      val banded = withSketch
+        .withColumn("bks", bks)
+        .where(col("bks").isNotNull)
+        .select(keyCols :+ posexplode(col("bks")).as(Seq("band", "bucket")): _*)
+      (withSketch, banded)
+    }
   }
 
   /** Token-bounded training chunks with overlap over the ORDERED,
@@ -396,7 +417,8 @@ object Dedup {
     */
   def incrementalIngestFilter(docs: DataFrame, isCorpus: Column,
                               bands: Int, rowsPerBand: Int, threshold: Double,
-                              maxBucketSize: Int = MaxBucketSize): DataFrame = {
+                              maxBucketSize: Int = MaxBucketSize,
+                              shingleN: Int = 1): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val tagged = docs.select(col("doc_id"), col("text"), isCorpus.as("is_corpus"))
     val corpusDigests = tagged.where(col("is_corpus"))
@@ -406,7 +428,7 @@ object Dedup {
       .withColumn("digest", md5(col("text")))
       .join(corpusDigests, Seq("digest"), "left_anti")
 
-    val (withSketch, banded) = bandedPoly(tagged, Seq("is_corpus"), bands, rowsPerBand)
+    val (withSketch, banded) = bandedPoly(tagged, Seq("is_corpus"), bands, rowsPerBand, shingleN)
     val wRep = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
     val corpusReps = banded.where(col("is_corpus"))
       .withColumn("rn", row_number().over(wRep))
@@ -431,15 +453,33 @@ object Dedup {
 
   /** DuckDB oracle of incrementalIngestFilter (same constants; the
     * corpus/new split is restated by `corpusPred` over `documents`).
+    * `shingleN` > 1 restates the order-sensitive face: shingle strings
+    * -> distinct combined hashes -> the base-131 fold recovered by
+    * division (the SQL twin of the kernel's `>>> 31`).
     */
   def incrementalIngestOracleSql(corpusPred: String, bands: Int, rowsPerBand: Int,
                                  threshold: Double,
-                                 maxBucketSize: Int = MaxBucketSize): String = {
+                                 maxBucketSize: Int = MaxBucketSize,
+                                 shingleN: Int = 1): String = {
     val (sigCols, bucketCols, bandStructs) = minhashBandSql(bands, rowsPerBand)
+    val headCtes = if (shingleN == 1)
+      s"""t AS (SELECT doc_id, is_corpus, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM base),
+         |h AS (SELECT doc_id, is_corpus, $polyHashListSql AS hs, $combinedHashListSql AS hs2 FROM t WHERE len(toks) > 0),
+         |sig AS (SELECT doc_id, is_corpus, list_distinct(hs2) AS ht, $sigCols FROM h),""".stripMargin
+    else {
+      val shingle = (0 until shingleN).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      s"""t AS (SELECT doc_id, is_corpus, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w FROM base),
+         |st AS (SELECT doc_id, is_corpus,
+         |    CASE WHEN len(w) >= $shingleN THEN
+         |      list_distinct(list_transform(generate_series(1, len(w) - ${shingleN - 1}), i -> $shingle))
+         |    ELSE CAST([] AS VARCHAR[]) END AS shs FROM t),
+         |h AS (SELECT doc_id, is_corpus, list_distinct(list_transform(shs, s -> ${combinedHashSql("s")})) AS ht
+         |  FROM st WHERE len(shs) > 0),
+         |hb AS (SELECT doc_id, is_corpus, ht, list_transform(ht, x -> x // 2147483648) AS hs FROM h),
+         |sig AS (SELECT doc_id, is_corpus, ht, $sigCols FROM hb),""".stripMargin
+    }
     s"""WITH base AS (SELECT doc_id, text, ($corpusPred) AS is_corpus FROM documents),
-       |t AS (SELECT doc_id, is_corpus, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM base),
-       |h AS (SELECT doc_id, is_corpus, $polyHashListSql AS hs, $combinedHashListSql AS hs2 FROM t WHERE len(toks) > 0),
-       |sig AS (SELECT doc_id, is_corpus, list_distinct(hs2) AS ht, $sigCols FROM h),
+       |$headCtes
        |bk AS (SELECT doc_id, is_corpus, ht, $bucketCols FROM sig),
        |banded AS (SELECT doc_id, is_corpus, ht, u['band'] AS band, u['bucket'] AS bucket
        |  FROM bk, UNNEST([$bandStructs]) AS un(u)),

@@ -55,6 +55,19 @@ object SketchKernelProps extends Properties("graft.operators.kernels") {
         SketchKernels.polyHash2(UTF8String.fromString(s)) == cp.toLong % SketchKernels.PolyM
     }
 
+  property("minhashPolyBucketsFromCombined(shingleHashes(w,1)) == minhashPolyBuckets(distinct words)") =
+    Prop.forAll(words.suchThat(_.nonEmpty), Gen.chooseNum(1, 4), Gen.chooseNum(1, 3)) {
+      (ws, bands, rpb) =>
+        // width-1 shingles ARE the word set: the combined-hash route's
+        // recovered 31-bit base must band identically to the historical
+        // token-string route (bandedPoly's two faces agree at n=1)
+        val viaCombined = longs(SketchKernels.minhashPolyBucketsFromCombined(
+          SketchKernels.shingleHashes(arr(ws), 1), bands, rpb))
+        val viaStrings = longs(SketchKernels.minhashPolyBuckets(
+          arr(ws.distinct), bands, rpb))
+        viaCombined == viaStrings
+    }
+
   property("chunkTokens partitions: concatenation order preserved, bounds respected") =
     Prop.forAll(words.suchThat(_.nonEmpty), Gen.chooseNum(2, 8), Gen.chooseNum(0, 1)) {
       (ws, size, ov) =>
