@@ -2,7 +2,7 @@ package graft
 
 import graft.fixtures.{DocGen, Vocab}
 import graft.image.SynthRenderer
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Search, Similarity}
 import graft.pipeline.ExtractionJob
 import graft.text.{ArabicNormalizer => N, DocumentAnalyzer => DA, TextStats => TS}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -32,6 +32,12 @@ object SparkEntry {
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ocr_extract")(spark, "/root/testdata/sf0.001")
+
+  /** BM25 probe query: the rare planted near-dup marker plus three
+    * common vocabulary terms — exercises the idf spread end to end.
+    * Single definition consumed by BOTH the query and its oracle.
+    */
+  private val BmTerms = Seq("dup", "spark", "vector", "join")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -371,6 +377,14 @@ object SparkEntry {
     "tp_ingest_ngram" -> ((s, dir) =>
       Dedup.incrementalIngestFilter(docs(s, dir), col("doc_id") % 2 === 0,
         bands = 8, rowsPerBand = 4, threshold = 0.5, shingleN = 3)),
+
+    // Corpus keyword search: BM25 top-k over a probe query mixing the
+    // rare near-dup marker ("dup", df~5%) with common vocabulary —
+    // retrieval-based curation (contamination checks, topical subset
+    // pulls). One narrow tf/dl pass, a one-row corpus-stats broadcast,
+    // TakeOrdered top-k
+    "ta_bm25_topk" -> ((s, dir) =>
+      Search.bm25TopK(docs(s, dir), BmTerms, k = 25)),
 
     // Corpus vocabulary statistics: global token frequencies, top 20 —
     // explode is map-side, the count aggregates partially before the
@@ -803,6 +817,8 @@ object SparkEntry {
       "tp_ingest_ngram" -> Dedup.incrementalIngestOracleSql(
         corpusPred = "doc_id % 2 = 0", bands = 8, rowsPerBand = 4, threshold = 0.5,
         shingleN = 3),
+
+      "ta_bm25_topk" -> Search.bm25OracleSql(BmTerms, k = 25),
 
       "dd_simhash" -> Dedup.simhashOracleSql(maxHamming = 4),
 

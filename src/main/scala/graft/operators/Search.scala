@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword search: Okapi BM25 ranking over the documents table.
+  *
+  * The training-data use case is retrieval-based corpus curation
+  * (find the docs most relevant to a probe query — contamination
+  * checks, topical subset extraction), so the operator is built
+  * scale-first:
+  *
+  *  - per-doc pass: ONE narrow projection computes doc length and the
+  *    token-exact tf vector for the query terms (native single-pass
+  *    TokenTermFreqs kernel — no explode, no per-term HOF scans);
+  *  - corpus statistics (N, avgdl, per-term df) reduce to ONE row via
+  *    partial aggregation (map-side combine), then ride back on a
+  *    broadcast nested-loop join — no shuffle of the corpus;
+  *  - the top-k is orderBy+limit, which Spark plans as TakeOrdered
+  *    (per-partition heaps, no global sort materialization).
+  *
+  * All inputs to the score are integers (tf, df, dl, N exact; avgdl =
+  * exact integer sum / exact count), so both engines evaluate the same
+  * double expression tree and round(score, 6) compares exactly across
+  * engines (the ln/log1p ulp caveat is shared with every rounded
+  * double oracle in this repo).
+  */
+object Search {
+
+  /** Okapi BM25 with the Lucene-style smoothed idf
+    * ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive, so scores
+    * are monotone in matched terms. `terms` must be lowercase (the
+    * token stream is lowercased like every dedup path).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(terms.nonEmpty && terms.forall(t => t == t.toLowerCase),
+      "query terms must be nonempty and lowercase")
+    val m = terms.length
+    val tfCol = ColumnBridge.column(graft.functions.TokenTermFreqs(
+      ColumnBridge.expression(Dedup.wordSeqCol(col("text"))), terms))
+    val base = docs.select(col("doc_id"),
+      size(Dedup.wordSeqCol(col("text"))).as("dl"), tfCol.as("tf"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"),
+      array((0 until m).map(i =>
+        sum(when(col("tf")(i) > 0, 1L).otherwise(0L))): _*).as("df"))
+    val score: Column = (0 until m).map { i =>
+      val tf = col("tf")(i).cast("double")
+      val df = col("df")(i).cast("double")
+      val idf = log(lit(1.0) + (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB oracle of bm25TopK (same constants; lists are 1-based). */
+  def bm25OracleSql(terms: Seq[String], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val m = terms.length
+    def lit(t: String) = "'" + t.replace("'", "''") + "'"
+    val tfList = terms.map(t => s"len(list_filter(w, x -> x = ${lit(t)}))").mkString(", ")
+    val dfList = (1 to m).map(i => s"sum(CASE WHEN tf[$i] > 0 THEN 1 ELSE 0 END)").mkString(", ")
+    val scoreTerms = (1 to m).map { i =>
+      s"""(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df[$i] AS DOUBLE) + 0.5) / (CAST(df[$i] AS DOUBLE) + 0.5))
+         | * (CAST(tf[$i] AS DOUBLE) * ${k1 + 1.0})
+         | / (CAST(tf[$i] AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)))""".stripMargin
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |base AS (SELECT doc_id, len(w) AS dl, [$tfList] AS tf FROM w),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, [$dfList] AS df FROM base),
+       |scored AS (SELECT doc_id, round($scoreTerms, 6) AS score FROM base, stats)
+       |SELECT doc_id, score FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+}

@@ -110,6 +110,20 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(exchanges <= 1, s"sessionize re-shuffles on the same key ($exchanges exchanges):\n${plan.take(1200)}")
   }
 
+  test("bm25 plan: TakeOrdered top-k, corpus stats ride a broadcast (no corpus shuffle)") {
+    val plan = SparkEntry.queries("ta_bm25_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"one-row stats must broadcast:\n${plan.take(800)}")
+    // the only exchange allowed is the one-row stats aggregate's
+    // SinglePartition reduction — the corpus side must stay unshuffled
+    val corpusExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(corpusExchanges == 0,
+      s"bm25 shuffles the corpus ($corpusExchanges hash exchanges):\n${plan.take(1200)}")
+  }
+
   test("whole-stage codegen covers the normalization path") {
     val plan = SparkEntry.queries("t2_normalize_basic")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -68,6 +68,17 @@ object SketchKernelProps extends Properties("graft.operators.kernels") {
         viaCombined == viaStrings
     }
 
+  property("tokenTermFreqs counts token-EXACT matches per term (no substring hits)") =
+    Prop.forAll(words, Gen.chooseNum(1, 4)) { (ws, nt) =>
+      val terms = (List("a", "abc", "نظام", "😀").take(nt))
+      val got = {
+        val a = graft.functions.SearchKernels.tokenTermFreqs(
+          arr(ws), terms.map(UTF8String.fromString).toArray)
+        (0 until a.numElements()).map(i => a.getInt(i))
+      }
+      got == terms.map(t => ws.count(_ == t))
+    }
+
   property("chunkTokens partitions: concatenation order preserved, bounds respected") =
     Prop.forAll(words.suchThat(_.nonEmpty), Gen.chooseNum(2, 8), Gen.chooseNum(0, 1)) {
       (ws, size, ov) =>
