@@ -370,6 +370,14 @@ object SparkEntry {
       Dedup.incrementalIngestFilter(docs(s, dir), col("doc_id") % 2 === 0,
         bands = 8, rowsPerBand = 4, threshold = 0.8)),
 
+    // Corpus-wide exact span duplication: doc pairs sharing identical
+    // 8-word spans via an inverted index on span hashes (Lee et al.
+    // exact-substring dedup at span granularity) — corpus-wide, not
+    // id-windowed; global boilerplate spans capped out by the hot-key
+    // anti-join
+    "dd_span_overlap" -> ((s, dir) =>
+      Dedup.spanOverlapPairs(docs(s, dir), n = 8)),
+
     // Order-sensitive ingest gate: same admission pipeline, but the
     // similarity unit is word TRIGRAM shingles (dd_ngram_jaccard's
     // unit) — docs sharing vocabulary but not phrasing pass, reworded
@@ -819,6 +827,8 @@ object SparkEntry {
         shingleN = 3),
 
       "ta_bm25_topk" -> Search.bm25OracleSql(BmTerms, k = 25),
+
+      "dd_span_overlap" -> Dedup.spanOverlapOracleSql(n = 8),
 
       "dd_simhash" -> Dedup.simhashOracleSql(maxHamming = 4),
 

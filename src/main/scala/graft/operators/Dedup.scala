@@ -151,6 +151,55 @@ object Dedup {
        |WHERE $jac >= $threshold""".stripMargin
   }
 
+  /** Corpus-WIDE exact span duplication: pairs of docs sharing at
+    * least one identical n-word span, with the shared-span count —
+    * the span-granular analogue of exact-substring training-data
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"), where verbatim boilerplate/citation reuse is
+    * the target rather than whole-doc similarity.
+    *
+    * Unlike the windowed Jaccard paths this is NOT id-blocked: the
+    * candidate structure is an INVERTED INDEX on shingle hashes (one
+    * posting per (span-hash, doc)), so any two docs anywhere in the
+    * corpus sharing a span meet on its hash — one explode, one
+    * hot-key cap, one equi-join, all linear in posting volume. Spans
+    * shared by more than `maxPostings` docs (global boilerplate —
+    * headers, licenses) are dropped by the same anti-join cap as the
+    * LSH buckets: they would pair everyone with everyone (quadratic)
+    * while signalling template reuse, not doc-pair duplication.
+    * Shingle hashes per doc are DISTINCT, so n_spans counts distinct
+    * shared spans.
+    */
+  def spanOverlapPairs(docs: DataFrame, n: Int,
+                       maxPostings: Int = MaxBucketSize): DataFrame = {
+    val inv = docs.select(col("doc_id"),
+        explode(shingleHashesCol(col("text"), n)).as("sh"))
+    val cold = dropHotBuckets(inv, Seq("sh"), maxPostings)
+    cold.as("a").join(cold.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_spans"))
+  }
+
+  /** DuckDB oracle of spanOverlapPairs (same hash family/constants). */
+  def spanOverlapOracleSql(n: Int, maxPostings: Int = MaxBucketSize): String = {
+    val shingle = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |st AS (SELECT doc_id,
+       |    CASE WHEN len(w) >= $n THEN
+       |      list_distinct(list_transform(generate_series(1, len(w) - ${n - 1}), i -> $shingle))
+       |    ELSE CAST([] AS VARCHAR[]) END AS shs FROM t),
+       |h AS (SELECT doc_id, list_distinct(list_transform(shs, s -> ${combinedHashSql("s")})) AS shl
+       |  FROM st WHERE len(shs) > 0),
+       |inv AS (SELECT doc_id, unnest(shl) AS sh FROM h),
+       |cold AS (SELECT * FROM inv QUALIFY count(*) OVER (PARTITION BY sh) <= $maxPostings)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_spans
+       |FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Exact duplicate groups by content digest (md5). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_md5"))
