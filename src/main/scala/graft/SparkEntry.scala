@@ -606,6 +606,21 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_epoch"), col("value"))),
 
+    // Streaming ingest-gate twin: the ACCRETING admission pipeline —
+    // new docs (odd ids) arrive in 3 ordered micro-batches and each
+    // batch is gated against corpus ∪ earlier admissions, so a doc
+    // admitted at batch k rejects its near-dups at batch k+1 (stream ≡
+    // twin pinned in StreamingSpec; the stream materializes per-batch,
+    // so only the twin's plan grows with K)
+    "st_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.streaming.IngestStream.ingestBatchTwin(
+        corpus = d.where(col("doc_id") % 2 === 0),
+        newDocs = d.where(col("doc_id") % 2 =!= 0),
+        batchOf = pmod(floor(col("doc_id") / 100).cast("long"), lit(3)),
+        nBatches = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    }),
+
     // Multimodal AUDIO: opaque PCM payload -> decode -> windowed
     // feature extraction (rms + zero crossings), the audio face of the
     // decode/feature-extract path. Square-wave synthesis makes every
@@ -829,6 +844,10 @@ object SparkEntry {
       "ta_bm25_topk" -> Search.bm25OracleSql(BmTerms, k = 25),
 
       "dd_span_overlap" -> Dedup.spanOverlapOracleSql(n = 8),
+
+      "st_ingest" -> Dedup.streamingIngestOracleSql(
+        corpusPred = "doc_id % 2 = 0", batchExpr = "(doc_id // 100) % 3",
+        nBatches = 3, bands = 8, rowsPerBand = 4, threshold = 0.8),
 
       "dd_simhash" -> Dedup.simhashOracleSql(maxHamming = 4),
 

@@ -500,52 +500,90 @@ object Dedup {
     afterExact.join(nearDupNew, Seq("doc_id"), "left_anti").select(col("doc_id"))
   }
 
+  /** CTE block restating ONE admission-gate decision over a relation
+    * `$baseRel(doc_id, text, is_corpus)`; every CTE name carries the
+    * `$p` prefix so blocks can be CHAINED (the streaming oracle runs
+    * one per micro-batch with an accreting base). The final CTE
+    * `${p}kept` holds the admitted new-side doc_ids. `shingleN` > 1
+    * restates the order-sensitive face: shingle strings -> distinct
+    * combined hashes -> the base-131 fold recovered by division (the
+    * SQL twin of the kernel's `>>> 31`).
+    */
+  private def ingestGateCtesSql(p: String, baseRel: String,
+                                bands: Int, rowsPerBand: Int, threshold: Double,
+                                maxBucketSize: Int, shingleN: Int): String = {
+    val (sigCols, bucketCols, bandStructs) = minhashBandSql(bands, rowsPerBand)
+    val headCtes = if (shingleN == 1)
+      s"""${p}t AS (SELECT doc_id, is_corpus, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM $baseRel),
+         |${p}h AS (SELECT doc_id, is_corpus, $polyHashListSql AS hs, $combinedHashListSql AS hs2 FROM ${p}t WHERE len(toks) > 0),
+         |${p}sig AS (SELECT doc_id, is_corpus, list_distinct(hs2) AS ht, $sigCols FROM ${p}h),""".stripMargin
+    else {
+      val shingle = (0 until shingleN).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      s"""${p}t AS (SELECT doc_id, is_corpus, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w FROM $baseRel),
+         |${p}st AS (SELECT doc_id, is_corpus,
+         |    CASE WHEN len(w) >= $shingleN THEN
+         |      list_distinct(list_transform(generate_series(1, len(w) - ${shingleN - 1}), i -> $shingle))
+         |    ELSE CAST([] AS VARCHAR[]) END AS shs FROM ${p}t),
+         |${p}h AS (SELECT doc_id, is_corpus, list_distinct(list_transform(shs, s -> ${combinedHashSql("s")})) AS ht
+         |  FROM ${p}st WHERE len(shs) > 0),
+         |${p}hb AS (SELECT doc_id, is_corpus, ht, list_transform(ht, x -> x // 2147483648) AS hs FROM ${p}h),
+         |${p}sig AS (SELECT doc_id, is_corpus, ht, $sigCols FROM ${p}hb),""".stripMargin
+    }
+    s"""$headCtes
+       |${p}bk AS (SELECT doc_id, is_corpus, ht, $bucketCols FROM ${p}sig),
+       |${p}banded AS (SELECT doc_id, is_corpus, ht, u['band'] AS band, u['bucket'] AS bucket
+       |  FROM ${p}bk, UNNEST([$bandStructs]) AS un(u)),
+       |${p}reps AS (SELECT * FROM ${p}banded WHERE is_corpus
+       |  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= $maxBucketSize),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+       |  FROM ${p}banded a JOIN ${p}reps b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE NOT a.is_corpus),
+       |${p}neardup AS (SELECT DISTINCT c.id_new FROM ${p}cand c
+       |  JOIN ${p}sig sa ON sa.doc_id = c.id_new
+       |  JOIN ${p}sig sb ON sb.doc_id = c.id_old
+       |  WHERE ${jaccardSql("sa.ht", "sb.ht")} >= $threshold),
+       |${p}exact AS (SELECT DISTINCT n.doc_id FROM $baseRel n JOIN $baseRel c
+       |  ON NOT n.is_corpus AND c.is_corpus AND md5(n.text) = md5(c.text)),
+       |${p}kept AS (SELECT doc_id FROM $baseRel WHERE NOT is_corpus
+       |  AND doc_id NOT IN (SELECT doc_id FROM ${p}exact)
+       |  AND doc_id NOT IN (SELECT id_new FROM ${p}neardup))""".stripMargin
+  }
+
   /** DuckDB oracle of incrementalIngestFilter (same constants; the
     * corpus/new split is restated by `corpusPred` over `documents`).
-    * `shingleN` > 1 restates the order-sensitive face: shingle strings
-    * -> distinct combined hashes -> the base-131 fold recovered by
-    * division (the SQL twin of the kernel's `>>> 31`).
     */
   def incrementalIngestOracleSql(corpusPred: String, bands: Int, rowsPerBand: Int,
                                  threshold: Double,
                                  maxBucketSize: Int = MaxBucketSize,
-                                 shingleN: Int = 1): String = {
-    val (sigCols, bucketCols, bandStructs) = minhashBandSql(bands, rowsPerBand)
-    val headCtes = if (shingleN == 1)
-      s"""t AS (SELECT doc_id, is_corpus, list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '') AS toks FROM base),
-         |h AS (SELECT doc_id, is_corpus, $polyHashListSql AS hs, $combinedHashListSql AS hs2 FROM t WHERE len(toks) > 0),
-         |sig AS (SELECT doc_id, is_corpus, list_distinct(hs2) AS ht, $sigCols FROM h),""".stripMargin
-    else {
-      val shingle = (0 until shingleN).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
-      s"""t AS (SELECT doc_id, is_corpus, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w FROM base),
-         |st AS (SELECT doc_id, is_corpus,
-         |    CASE WHEN len(w) >= $shingleN THEN
-         |      list_distinct(list_transform(generate_series(1, len(w) - ${shingleN - 1}), i -> $shingle))
-         |    ELSE CAST([] AS VARCHAR[]) END AS shs FROM t),
-         |h AS (SELECT doc_id, is_corpus, list_distinct(list_transform(shs, s -> ${combinedHashSql("s")})) AS ht
-         |  FROM st WHERE len(shs) > 0),
-         |hb AS (SELECT doc_id, is_corpus, ht, list_transform(ht, x -> x // 2147483648) AS hs FROM h),
-         |sig AS (SELECT doc_id, is_corpus, ht, $sigCols FROM hb),""".stripMargin
-    }
+                                 shingleN: Int = 1): String =
     s"""WITH base AS (SELECT doc_id, text, ($corpusPred) AS is_corpus FROM documents),
-       |$headCtes
-       |bk AS (SELECT doc_id, is_corpus, ht, $bucketCols FROM sig),
-       |banded AS (SELECT doc_id, is_corpus, ht, u['band'] AS band, u['bucket'] AS bucket
-       |  FROM bk, UNNEST([$bandStructs]) AS un(u)),
-       |reps AS (SELECT * FROM banded WHERE is_corpus
-       |  QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= $maxBucketSize),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
-       |  FROM banded a JOIN reps b ON a.band = b.band AND a.bucket = b.bucket
-       |  WHERE NOT a.is_corpus),
-       |neardup AS (SELECT DISTINCT c.id_new FROM cand c
-       |  JOIN sig sa ON sa.doc_id = c.id_new
-       |  JOIN sig sb ON sb.doc_id = c.id_old
-       |  WHERE ${jaccardSql("sa.ht", "sb.ht")} >= $threshold),
-       |exact AS (SELECT DISTINCT n.doc_id FROM base n JOIN base c
-       |  ON NOT n.is_corpus AND c.is_corpus AND md5(n.text) = md5(c.text))
-       |SELECT doc_id FROM base WHERE NOT is_corpus
-       |  AND doc_id NOT IN (SELECT doc_id FROM exact)
-       |  AND doc_id NOT IN (SELECT id_new FROM neardup)""".stripMargin
+       |${ingestGateCtesSql("g_", "base", bands, rowsPerBand, threshold, maxBucketSize, shingleN)}
+       |SELECT doc_id FROM g_kept""".stripMargin
+
+  /** DuckDB oracle of IngestStream.ingestBatchTwin: `nBatches` gate
+    * blocks chained in batch order, each block's base = corpus ∪ all
+    * earlier admissions ∪ its own batch — the accreting-corpus
+    * semantics of the streaming gate, restated as one SQL statement.
+    */
+  def streamingIngestOracleSql(corpusPred: String, batchExpr: String, nBatches: Int,
+                               bands: Int, rowsPerBand: Int, threshold: Double,
+                               maxBucketSize: Int = MaxBucketSize,
+                               shingleN: Int = 1): String = {
+    val blocks = (0 until nBatches).map { k =>
+      val prevAdmissions = (0 until k).map(j =>
+        s"  UNION ALL SELECT doc_id, text, TRUE AS is_corpus FROM adm$j").mkString("\n")
+      s"""b$k AS (SELECT doc_id, text, TRUE AS is_corpus FROM all0 WHERE is_corpus
+         |$prevAdmissions
+         |  UNION ALL SELECT doc_id, text, FALSE AS is_corpus FROM all0 WHERE NOT is_corpus AND bno = $k),
+         |${ingestGateCtesSql(s"g${k}_", s"b$k", bands, rowsPerBand, threshold, maxBucketSize, shingleN)},
+         |adm$k AS (SELECT doc_id, text FROM all0
+         |  WHERE NOT is_corpus AND bno = $k AND doc_id IN (SELECT doc_id FROM g${k}_kept))""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until nBatches).map(k =>
+      s"SELECT doc_id, CAST($k AS BIGINT) AS batch_id FROM g${k}_kept").mkString("\nUNION ALL ")
+    s"""WITH all0 AS (SELECT doc_id, text, ($corpusPred) AS is_corpus, ($batchExpr) AS bno FROM documents),
+       |$blocks
+       |$out""".stripMargin
   }
 
   /** Native poly band buckets (cross-engine family; one pass). */

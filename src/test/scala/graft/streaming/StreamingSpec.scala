@@ -95,6 +95,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(readOut() == want, "restart must not duplicate or alter extracted output")
   }
 
+  test("streaming ingest gate: corpus ACCRETES across micro-batches (stream == twin, single-shot diverges)") {
+    import spark.implicits._
+    // corpus: two docs. Batches of NEW docs where the accretion is
+    // load-bearing:
+    //   batch 0: doc 11 (fresh text A)            -> admitted
+    //   batch 1: doc 13 (byte-identical to 11)    -> REJECTED only if
+    //            batch-0 admissions joined the reference set;
+    //            doc 15 (near-dup of 11, 29/30 shared tokens)
+    //                                             -> REJECTED via the
+    //            cross-batch banded MinHash path; doc 17 (fresh B) admits
+    //   batch 2: doc 19 (identical to corpus doc) -> rejected either way
+    def toks(seed: Int, n: Int) = (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val textA = toks(1, 30)
+    val textANear = toks(1, 29) + " zz_changed"
+    val corpus = Seq((0L, toks(7, 30)), (2L, toks(8, 30))).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((11L, textA)),
+      Seq((13L, textA), (15L, textANear), (17L, toks(9, 30))),
+      Seq((19L, toks(7, 30))))
+
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-ing-corpus").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ing-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ing-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ing-ck").toString
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    batches.foreach { b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1200) // distinct mod times: file order == batch order
+    }
+
+    IngestStream.runOnce(spark, corpusDir, inDir, outDir, ckDir)
+    val got = spark.read.parquet(outDir).select("doc_id", "batch_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((11L, 0L), (17L, 1L)),
+      s"accreting stream must admit exactly 11@0 and 17@1, got $got")
+
+    // the batch twin restates the same sequencing
+    val newDocs = batches.zipWithIndex.flatMap { case (b, i) => b.map(d => (d._1, d._2, i.toLong)) }
+      .toDF("doc_id", "text", "bno")
+    val twin = IngestStream.ingestBatchTwin(corpus, newDocs,
+        batchOf = col("bno"), nBatches = 3,
+        bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .as[(Long, Long)].collect().toSet
+    assert(twin == got, s"twin $twin != stream $got")
+
+    // and the SINGLE-SHOT gate (no accretion) would wrongly admit the
+    // cross-batch duplicates — the divergence that makes the streaming
+    // semantics a distinct operator, not a re-run of tp_incremental_ingest
+    val oneShot = IngestStream.gate(corpus,
+        newDocs.select("doc_id", "text"), bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .as[Long].collect().toSet
+    assert(Set(13L, 15L).subsetOf(oneShot),
+      s"single-shot gate should admit the cross-batch dups (got $oneShot) — otherwise this test proves nothing")
+  }
+
   test("streaming exact-dedup: first arrival across micro-batches == batch earliest-per-key twin") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
