@@ -280,6 +280,14 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), n = 3, idWindow = 25, threshold = 0.5)),
 
+    // Dedup: windowed shingle CONTAINMENT pairs — the ASYMMETRIC
+    // signal (|A∩B| / min): a short doc verbatim-quoted inside a long
+    // one scores ~1.0 where Jaccard sails under the threshold;
+    // excerpt/quotation reuse is its own duplication class. No size
+    // prefilter by design
+    "dd_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), n = 3, idWindow = 25, threshold = 0.6)),
+
     // Dedup: near-dup CLUSTER resolution — connected components over
     // the windowed-Jaccard candidate pairs, every member labeled with
     // its component's smallest doc id (keep = label == doc_id). The
@@ -360,6 +368,28 @@ object SparkEntry {
         .where(col("quality") >= 0.5 && col("lang_pred") === "en")
         .join(keepers, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("quality"))
+    }),
+
+    // Cluster-representative selection: the KEEP decision a dedup
+    // pipeline actually ships — near-dup clusters resolved by star
+    // contraction, then ONE representative per cluster chosen by
+    // QUALITY (not min-id): argmax via row_number over (quality desc,
+    // id asc), member count riding the same label partition (one
+    // shuffle, two window functions, zero extra exchanges)
+    "tp_cluster_keep" -> ((s, dir) => {
+      val labels = Dedup.nearDupComponents(
+        Dedup.jaccardPairs(docs(s, dir), idWindow = 25, threshold = 0.8)
+          .select(col("id_a"), col("id_b")))
+      val q = docs(s, dir).select(col("doc_id"), TS.qualityScoreCol(col("text")).as("quality"))
+      val byLabel = Window.partitionBy(col("label"))
+      val pick = byLabel.orderBy(col("quality").desc, col("id").asc)
+      labels.join(q, col("id") === col("doc_id"))
+        .select(col("label"), col("id"), col("quality"),
+          row_number().over(pick).as("rn"),
+          count(lit(1)).over(byLabel).as("n_members"))
+        .where(col("rn") === 1)
+        .select(col("label"), col("id").as("keep_id"),
+          col("quality").as("keep_quality"), col("n_members"))
     }),
 
     // Incremental ingestion gate: dedup a NEW batch (odd doc_ids)
@@ -848,6 +878,21 @@ object SparkEntry {
       "st_ingest" -> Dedup.streamingIngestOracleSql(
         corpusPred = "doc_id % 2 = 0", batchExpr = "(doc_id // 100) % 3",
         nBatches = 3, bands = 8, rowsPerBand = 4, threshold = 0.8),
+
+      "dd_containment" -> Dedup.containmentOracleSql(n = 3, idWindow = 25, threshold = 0.6),
+
+      "tp_cluster_keep" -> {
+        val labels = Dedup.componentsOracleSql("SELECT * FROM (" +
+          Dedup.jaccardPairsOracleSql(idWindow = 25, threshold = 0.8, idsOnly = true) + ") q")
+        s"""WITH labels AS ($labels),
+           |q AS (SELECT doc_id, ${TS.qualityScoreSql("text")} AS quality FROM documents),
+           |j AS (SELECT l.id, l.label, q.quality FROM labels l JOIN q ON q.doc_id = l.id),
+           |r AS (SELECT label, id, quality,
+           |    row_number() OVER (PARTITION BY label ORDER BY quality DESC, id ASC) AS rn,
+           |    count(*) OVER (PARTITION BY label) AS n_members FROM j)
+           |SELECT label, id AS keep_id, quality AS keep_quality,
+           |  CAST(n_members AS BIGINT) AS n_members FROM r WHERE rn = 1""".stripMargin
+      },
 
       "dd_simhash" -> Dedup.simhashOracleSql(maxHamming = 4),
 

@@ -276,6 +276,24 @@ object SketchKernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Max-containment of two sorted distinct long arrays by the same
+    * linear merge: |A∩B| / min(|A|,|B|) — the ASYMMETRIC duplication
+    * signal (a short doc fully contained in a long one scores 1.0
+    * where its Jaccard is near |A|/|B|). Either side empty is 0.0.
+    */
+  def sortedLongContainment(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / math.min(na, nb).toDouble
+  }
+
   /** Token-bounded training chunks with overlap: chunk i covers
     * tokens [i*(size-overlap), i*(size-overlap)+size) joined with
     * single spaces; the last chunk is the remainder. n <= size => one
@@ -471,6 +489,26 @@ case class MinHashPolyBuckets(child: Expression, bands: Int, rowsPerBand: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Max-containment of two sorted distinct long arrays (see
+  * SketchKernels.sortedLongContainment). Inputs must honor the
+  * PolyHashArray contract.
+  */
+case class SortedLongContainment(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "sorted_long_containment"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sortedLongContainment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.sortedLongContainment($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Band-bucket array of the cross-engine poly-MinHash computed from

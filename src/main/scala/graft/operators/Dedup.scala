@@ -93,6 +93,58 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Windowed n-gram-shingle CONTAINMENT pairs: |A∩B| / min(|A|,|B|)
+    * over distinct shingle sets — the asymmetric near-dup signal. A
+    * short doc verbatim-quoted inside a long one scores ~1.0 here
+    * while its Jaccard is only ~|A|/|B| and sails under every
+    * symmetric threshold; excerpt/quotation reuse is a duplication
+    * class of its own in training corpora. Same block equi-join shape
+    * as jaccardPairs, but NO size prefilter (containment is
+    * deliberately size-ratio-unbounded — the mismatched-length pair is
+    * the whole point).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, idWindow: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val t = docs.select(col("doc_id"), col("lang"), shingleHashesCol(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("blk", floor(col("doc_id") / idWindow))
+    val probe = t.withColumn("probe_blk", explode(array(col("blk"), col("blk") + 1)))
+    val a = probe.as("a"); val b = t.as("b")
+    val cont = ColumnBridge.column(graft.functions.SortedLongContainment(
+      ColumnBridge.expression(col("a.sh")), ColumnBridge.expression(col("b.sh"))))
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.probe_blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.doc_id") <= col("a.doc_id") + idWindow)
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        round(cont, 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** DuckDB oracle of containmentPairs (same hash family/constants). */
+  def containmentOracleSql(n: Int, idWindow: Int, threshold: Double): String = {
+    val shingle = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+    val cont = "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6)"
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |st AS (SELECT doc_id, lang,
+       |    CASE WHEN len(w) >= $n THEN
+       |      list_distinct(list_transform(generate_series(1, len(w) - ${n - 1}), i -> $shingle))
+       |    ELSE CAST([] AS VARCHAR[]) END AS shs
+       |  FROM t),
+       |h AS (SELECT doc_id, lang,
+       |    list_distinct(list_transform(shs, s -> ${combinedHashSql("s")})) AS sh FROM st),
+       |nz AS (SELECT * FROM h WHERE len(sh) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $cont AS containment
+       |FROM nz a JOIN nz b
+       |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + $idWindow
+       |WHERE $cont >= $threshold""".stripMargin
+  }
+
   /** DuckDB oracle of jaccardPairs (same hashed-token-set face). Pass
     * `idsOnly = true` for the edge-list form the components oracle
     * embeds.

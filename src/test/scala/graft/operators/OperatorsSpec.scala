@@ -186,6 +186,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(short, n = 3, idWindow = 10, threshold = 0.1).count() == 0)
   }
 
+  test("containment: a verbatim excerpt scores ~1.0 where jaccard stays under threshold") {
+    // doc 1 = the first 12 words of doc 0 (a quote); doc 0 is 48 words
+    // long, so trigram-set jaccard ≈ 10/46 ≈ 0.22 while containment =
+    // 10/10 = 1.0 — the asymmetric class jaccard cannot see
+    val host = (0 until 48).map(i => s"w$i").mkString(" ")
+    val quote = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, host, "en"), (1L, quote, "en")).toDF("doc_id", "text", "lang")
+    val cont = Dedup.containmentPairs(docs, n = 3, idWindow = 10, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont == Set((0L, 1L, 1.0)), s"containment pairs: $cont")
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, idWindow = 10, threshold = 0.5).count()
+    assert(jac == 0, "the excerpt pair must be invisible to symmetric jaccard at 0.5")
+  }
+
+  test("cluster keep policy: per-cluster argmax is deterministic under quality ties") {
+    // one 3-member cluster (0-1-2 chained near-dups); doc 1 has the
+    // highest quality (longest); 0 and 2 tie -> id tiebreak never fires
+    // for the winner but n_members must count ALL members
+    val t0 = (0 until 20).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (0L, t0, "en"),
+      (1L, t0 + " extra tail words here", "en"),
+      (2L, t0.replaceFirst("a19", "zz"), "en")
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.jaccardPairs(docs, idWindow = 10, threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.nearDupComponents(pairs)
+    val q = docs.select(col("doc_id"), graft.text.TextStats.qualityScoreCol(col("text")).as("quality"))
+    val joined = labels.join(q, col("id") === col("doc_id"))
+    val byLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    val got = joined.select(col("label"), col("id"), col("quality"),
+        row_number().over(byLabel.orderBy(col("quality").desc, col("id").asc)).as("rn"),
+        count(lit(1)).over(byLabel).as("n"))
+      .where(col("rn") === 1)
+      .select(col("label"), col("id"), col("n")).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 3L)),
+      s"cluster 0 must keep doc 1 (highest quality) of 3 members: $got")
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
+  }
+
   test("incremental ingest gate: exact and near dups of the corpus dropped, fresh docs kept") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(

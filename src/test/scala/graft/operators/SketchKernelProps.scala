@@ -68,6 +68,15 @@ object SketchKernelProps extends Properties("graft.operators.kernels") {
         viaCombined == viaStrings
     }
 
+  property("sortedLongContainment == |A∩B| / min(|A|,|B|) over the hash SETS") =
+    Prop.forAll(words, words) { (wa, wb) =>
+      val (a, b) = (SketchKernels.shingleHashes(arr(wa), 1), SketchKernels.shingleHashes(arr(wb), 1))
+      val (sa, sb) = (longs(a).toSet, longs(b).toSet)
+      val want = if (sa.isEmpty || sb.isEmpty) 0.0
+                 else (sa & sb).size.toDouble / math.min(sa.size, sb.size).toDouble
+      SketchKernels.sortedLongContainment(a, b) == want
+    }
+
   property("tokenTermFreqs counts token-EXACT matches per term (no substring hits)") =
     Prop.forAll(words, Gen.chooseNum(1, 4)) { (ws, nt) =>
       val terms = (List("a", "abc", "نظام", "😀").take(nt))
