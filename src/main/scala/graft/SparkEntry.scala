@@ -416,6 +416,34 @@ object SparkEntry {
       Dedup.incrementalIngestFilter(docs(s, dir), col("doc_id") % 2 === 0,
         bands = 8, rowsPerBand = 4, threshold = 0.5, shingleN = 3)),
 
+    // Repetition quality signals (Gopher-rule style): per-doc
+    // duplicate-token / duplicate-2-gram / duplicate-3-gram fractions
+    // + the filter flag a curation pipeline would gate on — one narrow
+    // projection, three native shingle passes, no shuffle at all
+    "ta_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Dedup.repetitionFracCol(col("text"), 1).as("dup_token_frac"),
+        Dedup.repetitionFracCol(col("text"), 2).as("dup_2gram_frac"),
+        Dedup.repetitionFracCol(col("text"), 3).as("dup_3gram_frac"),
+        (Dedup.repetitionFracCol(col("text"), 2) > 0.9).as("flagged"))),
+
+    // Exact interpolated quantiles per event type (Spark `percentile`
+    // ≡ DuckDB `quantile_cont`, same type-7 linear interpolation) —
+    // the latency/size-distribution summary every event pipeline ships;
+    // one shuffle, partial aggregation upstream
+    "ev_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+
+    // Unigram LM quality scoring (CCNet-style): per-doc mean token
+    // log-probability under the corpus's own unigram distribution —
+    // the cheap-LM filter before model-based scoring
+    "ta_unigram_logprob" -> ((s, dir) =>
+      Search.unigramLogProb(docs(s, dir))),
+
     // Corpus keyword search: BM25 top-k over a probe query mixing the
     // rare near-dup marker ("dup", df~5%) with common vocabulary —
     // retrieval-based curation (contamination checks, topical subset
@@ -872,6 +900,26 @@ object SparkEntry {
         shingleN = 3),
 
       "ta_bm25_topk" -> Search.bm25OracleSql(BmTerms, k = 25),
+
+      "ta_unigram_logprob" -> Search.unigramLogProbOracleSql,
+
+      "ev_quantiles" ->
+        """SELECT event_type, count(*) AS n,
+          |  round(quantile_cont(value, 0.5), 6) AS p50,
+          |  round(quantile_cont(value, 0.9), 6) AS p90,
+          |  round(quantile_cont(value, 0.99), 6) AS p99
+          |FROM events GROUP BY event_type""".stripMargin,
+
+      "ta_repetition" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+           |  FROM documents)
+           |SELECT doc_id,
+           |  ${Dedup.repetitionFracSql("w", 1)} AS dup_token_frac,
+           |  ${Dedup.repetitionFracSql("w", 2)} AS dup_2gram_frac,
+           |  ${Dedup.repetitionFracSql("w", 3)} AS dup_3gram_frac,
+           |  (${Dedup.repetitionFracSql("w", 2)} > 0.9) AS flagged
+           |FROM t""".stripMargin,
 
       "dd_span_overlap" -> Dedup.spanOverlapOracleSql(n = 8),
 

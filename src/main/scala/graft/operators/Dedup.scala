@@ -252,6 +252,29 @@ object Dedup {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Per-doc REPETITION fractions (Gopher-rule-style quality
+    * signals): for n-gram width n, 1 - distinct/total over the doc's
+    * own n-grams — high values flag the looping/boilerplate-stuffed
+    * docs a training pipeline filters before tokenization. Distinct is
+    * counted over the 62-bit shingle hashes (one native pass), so the
+    * oracle's hash-collision behavior is identical by construction.
+    * Docs with fewer than n words score 0.0 (nothing to repeat).
+    */
+  def repetitionFracCol(text: Column, n: Int): Column = {
+    val total = greatest(size(wordSeqCol(text)) - (n - 1), lit(0)).cast("double")
+    val distinctN = size(shingleHashesCol(text, n)).cast("double")
+    when(total > 0, round(lit(1.0) - distinctN / total, 6)).otherwise(lit(0.0))
+  }
+
+  /** DuckDB twin of repetitionFracCol over a word list `w`. */
+  def repetitionFracSql(w: String, n: Int): String = {
+    val shingle = (0 until n).map(k => if (k == 0) s"$w[i]" else s"$w[i+$k]").mkString(" || ' ' || ")
+    val distinctN =
+      s"len(list_distinct(list_transform(list_transform(generate_series(1, len($w) - ${n - 1}), i -> $shingle), s -> ${combinedHashSql("s")})))"
+    val total = s"greatest(len($w) - ${n - 1}, 0)"
+    s"(CASE WHEN $total > 0 THEN round(1.0 - CAST($distinctN AS DOUBLE) / CAST($total AS DOUBLE), 6) ELSE 0.0 END)"
+  }
+
   /** Exact duplicate groups by content digest (md5). */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_md5"))

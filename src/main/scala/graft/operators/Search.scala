@@ -61,6 +61,43 @@ object Search {
       .limit(k)
   }
 
+  /** CCNet-style unigram language-model scoring: per-doc mean token
+    * log-probability under the CORPUS's own unigram distribution —
+    * low scores flag gibberish / out-of-distribution docs, the
+    * cheap-LM quality filter curation pipelines run before the
+    * expensive model-based one.
+    *
+    * Shape: one explode (map-side), one token-keyed aggregation for
+    * the frequency table, the corpus total as a one-row broadcast,
+    * then the occurrence->frequency join (AQE broadcasts the
+    * vocabulary-sized side at runtime) feeding a doc-keyed mean. Token
+    * counts are exact integers, so both engines evaluate identical
+    * ln arguments.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(Dedup.wordSeqCol(col("text"))).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("nf"))
+    val total = freq.agg(sum(col("nf")).as("n_total"))
+    tok.join(freq, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("nf").cast("double") / col("n_total").cast("double"))), 6)
+          .as("avg_logprob"))
+  }
+
+  /** DuckDB oracle of unigramLogProb. */
+  def unigramLogProbOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |freq AS (SELECT token, count(*) AS nf FROM tok GROUP BY token),
+       |tot AS (SELECT sum(nf) AS n_total FROM freq)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  round(avg(ln(CAST(f.nf AS DOUBLE) / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
+       |FROM tok t JOIN freq f ON t.token = f.token, tot
+       |GROUP BY t.doc_id""".stripMargin
+
   /** DuckDB oracle of bm25TopK (same constants; lists are 1-based). */
   def bm25OracleSql(terms: Seq[String], k: Int,
                     k1: Double = 1.2, b: Double = 0.75): String = {
