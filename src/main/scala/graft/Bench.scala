@@ -173,7 +173,13 @@ object Bench {
       val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
       val list = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
+      // drain warmup's queued task-end events BEFORE the first peak
+      // reset, and drain again after a failure — otherwise stragglers
+      // from the previous query (or warmup) land after the next reset
+      // and inflate the NEXT query's attributed peak
+      org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark)
       for (_ <- 0 until 2; (name, fn) <- list if !failures.contains(name)) {
+        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
         try {
           peakListener.peak.set(0L)
           val sec = time(force(fn(spark, sfDir)))
@@ -185,7 +191,14 @@ object Bench {
             System.err.println(s"[bench] QUERY FAILED: $name -> $e")
             failures(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
             passTimes.remove(name)
-        }
+            try org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark)
+            catch { case _: Throwable => () }
+        } finally
+          // reclaim query-created checkpoint blocks (components
+          // queries) so 2 passes x N queries can't accrete squatters
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => persistedBefore.contains(id) }
+            .values.foreach(_.unpersist(false))
       }
       spark.stop()
     }

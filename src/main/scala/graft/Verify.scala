@@ -16,11 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // reclaim query-created checkpoint blocks (the components
+        // queries return an eager labels checkpoint): once the result
+        // is written, nothing may squat in the BlockManager
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => persistedBefore.contains(id) }
+          .values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -47,27 +47,32 @@ object IvfIndex {
     Index(cents, lake.read(spark, s"${name}_vectors"))
   }
 
-  /** Top-k against the index. Only the DISTINCT probed cell ids (<=
-    * |queries| * nProbe ints, usually far fewer) round-trip through
-    * the driver to become a STATIC `cell IN (...)` scan filter, so a
-    * partition-by-cell layout prunes unprobed cells at the source
-    * instead of after the read. The query rows themselves stay
-    * distributed on the broadcast side — the round-3 form collected
-    * the exploded plan (each query's full embedding duplicated nProbe
-    * times on the driver), a needless OOM risk at moderate query
-    * counts. Cost: the upstream `queries` plan evaluates twice (a
-    * cells-only pruned pass + the join side) — the standard multi-use
-    * trade, cheap because the probe pass prunes to one array column.
+  /** Top-k against the index. The `queries` plan is evaluated exactly
+    * ONCE: the rows are broadcast-small by contract, so they are
+    * collected NON-exploded (each embedding once, with its probe-cell
+    * array — not the round-3 form that duplicated every embedding
+    * nProbe times on the driver), and BOTH the static `cell IN (...)`
+    * scan filter and the broadcast join side derive from that single
+    * collection. Deriving them from two separate evaluations (the
+    * interim round-4 form) could disagree on a nondeterministic query
+    * source (sample/limit) and silently truncate a query's neighbors —
+    * the filter pruned cells the join side then probed. The exploded
+    * (query, cell) duplication happens inside Spark tasks, never on
+    * the driver; the IN filter lets a partition-by-cell layout prune
+    * unprobed cells at the parquet source instead of after the read.
     */
   def queryTopK(idx: Index, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val qPlan = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      Similarity.normCol(col("embedding")).as("q_nrm"),
-      explode(Similarity.ivfProbeCellsCol(col("embedding"), idx.centroids, nProbe)).as("cell"))
-    val probed = queries
-      .select(explode(Similarity.ivfProbeCellsCol(col("embedding"), idx.centroids, nProbe))
-        .as("cell"))
-      .distinct().collect().map(_.getInt(0))
-    val q = qPlan
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<float>"),
+        Similarity.normCol(col("embedding")),
+        Similarity.ivfProbeCellsCol(col("embedding"), idx.centroids, nProbe))
+      .as[(Long, Array[Float], Double, Array[Int])].collect()
+    val probed = qRows.iterator.flatMap(_._4).toArray.distinct.sorted
+    val q = qRows.toSeq.toDF("query_id", "q_emb", "q_nrm", "cells")
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(col("cells")).as("cell"))
     val c = idx.assigned.where(col("cell").isin(probed.map(Int.box): _*))
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))

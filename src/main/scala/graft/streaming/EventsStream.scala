@@ -130,12 +130,21 @@ object EventsStream {
           // mid-batch gets one-batch-lifetime state, not a crash)
           def arm(target: Long): Unit =
             state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
+          // a stored marker whose target the watermark has passed is
+          // logically EXPIRED even if the timeout callback never fired:
+          // Spark only delivers hasTimedOut invocations for keys with
+          // NO data in the batch, so a key receiving a steady trickle
+          // would otherwise keep a lapsed marker alive forever and
+          // suppress every post-horizon event. Compare against the
+          // stored target, not just marker existence.
+          val live = state.exists && !state.hasTimedOut &&
+            state.get > state.getCurrentWatermarkMs()
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) { // duplicate within the TTL horizon
+          else if (live) { // duplicate within the TTL horizon
             arm(state.get)
             Iterator.empty
           } else if (!it.hasNext) Iterator.empty
-          else {
+          else { // fresh key OR lapsed marker: (re-)admit
             val e = it.minBy(x => (Sessionize.micros(x.ts), x.event_id))
             val target = Sessionize.micros(e.ts) / 1000L + ttlMs
             state.update(target)

@@ -74,9 +74,10 @@ object IngestStream {
   /** Drain all currently-available input, then stop (test/dev). */
   def runOnce(spark: SparkSession, corpusDir: String, inDir: String,
               outDir: String, checkpointDir: String,
-              bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.8): Unit = {
+              bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.8,
+              shingleN: Int = 1): Unit = {
     val q = ingestStream(spark, corpusDir, inDir, outDir, checkpointDir,
-      bands, rowsPerBand, threshold)
+      bands, rowsPerBand, threshold, shingleN)
     try q.processAllAvailable()
     finally q.stop()
   }

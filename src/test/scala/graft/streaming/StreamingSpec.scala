@@ -249,6 +249,35 @@ class StreamingSpec extends AnyFunSuite {
       s"TTL dedup: want dup 2 suppressed and key 1 re-admitted after expiry, got $got")
   }
 
+  test("streaming exact-dedup TTL: key with data in EVERY batch still re-admits after the horizon") {
+    import spark.implicits._
+    // Spark only delivers hasTimedOut invocations for keys with NO
+    // data in the batch — so a key receiving a steady trickle never
+    // gets its timeout callback, and expiry must be detected by
+    // comparing the STORED target to the current watermark (round-4
+    // review finding; the lapsed-marker suppression bug):
+    //   batch 1: K at min 0 + X at min 400 -> K admits (target min 60);
+    //            watermark advances to 390, far past K's target
+    //   batch 2: K at min 500 -> K has DATA, so no timeout fires; the
+    //            marker is logically expired (60 <= 390) and the event
+    //            must RE-ADMIT, not be suppressed forever
+    val base = java.sql.Timestamp.valueOf("2026-06-01 00:00:00").getTime
+    def ev(id: Long, user: Long, offMin: Int) =
+      Sessionize.Event(id, new java.sql.Timestamp(base + offMin * 60000L), user, "click", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-ttl2").toString
+    def write(evs: Seq[Sessionize.Event]): Unit =
+      evs.toDF().select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit("").as("props")).coalesce(1).write.mode("append").parquet(dir)
+    write(Seq(ev(1, 1, 0), ev(100, 2, 400)))
+    Thread.sleep(1500)
+    write(Seq(ev(3, 1, 500)))
+    val got = EventsStream.runDedupTtlOnce(spark, dir, s"sdedupttl2_${System.nanoTime()}",
+        watermarkDelay = "10 minutes", ttlMs = 60L * 60000L)
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(got == Set(1L, 100L, 3L),
+      s"post-horizon event of an always-active key must re-admit, got $got")
+  }
+
   test("sessionize: admissible out-of-order events ACROSS micro-batches bridge sessions (stream == batch)") {
     import spark.implicits._
     // ONE user, events split across two files so the second micro-batch
