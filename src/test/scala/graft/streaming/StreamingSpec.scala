@@ -150,6 +150,36 @@ class StreamingSpec extends AnyFunSuite {
       s"single-shot gate should admit the cross-batch dups (got $oneShot) — otherwise this test proves nothing")
   }
 
+  test("streaming ingest gate at shingleN=3: order-sensitive admission through the stream path") {
+    import spark.implicits._
+    // same admission pipeline, word-TRIGRAM similarity: a REWORDED doc
+    // (identical vocabulary, shuffled phrasing) shares unigrams but
+    // almost no trigrams with the corpus doc -> ADMITTED at shingleN=3
+    // (the unigram gate would reject it); a verbatim copy still rejects
+    val orig = "the quick brown fox jumps over the lazy dog again today and tomorrow morning"
+    val reworded = "tomorrow and again dog lazy the over jumps fox brown quick the today morning"
+    val corpus = Seq((0L, orig)).toDF("doc_id", "text")
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-ingn-corpus").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ingn-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ingn-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ingn-ck").toString
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    Seq((11L, reworded), (13L, orig)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+    IngestStream.runOnce(spark, corpusDir, inDir, outDir, ckDir,
+      threshold = 0.5, shingleN = 3)
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L),
+      s"trigram gate must admit the reworded doc and reject the verbatim copy, got $got")
+
+    // control: the unigram gate rejects BOTH (word sets identical)
+    val uni = IngestStream.gate(corpus, Seq((11L, reworded), (13L, orig)).toDF("doc_id", "text"),
+        bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .as[Long].collect().toSet
+    assert(uni.isEmpty, s"unigram gate should reject both, got $uni")
+  }
+
   test("streaming exact-dedup: first arrival across micro-batches == batch earliest-per-key twin") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
