@@ -86,10 +86,17 @@ object IngestStream {
     * `nBatches` by `batchOf` (a deterministic 0-based long expression)
     * and gated SEQUENTIALLY in batch order, each round's admissions
     * joining the reference set of the next. Returns (doc_id,
-    * batch_id). The K-step driver loop grows the plan linearly in K —
-    * the twin exists to restate the stream's semantics for tests and
-    * the DuckDB oracle; the stream itself materializes admissions per
-    * batch, so its plans never accrete.
+    * batch_id).
+    *
+    * Each round's admissions are MATERIALIZED (eager checkpoint) —
+    * the twin's analogue of the stream writing each batch's output to
+    * parquet. Without it, gate k's DataFrame feeds BOTH the result
+    * union and round k+1's reference set, so round k+1 re-evaluates
+    * gate k (and transitively every earlier gate) — measured 23s for
+    * 3 rounds at sf0.1 where three independent gates cost ~6s. The
+    * checkpoints are small (admitted ids+text) and freed by the
+    * Bench/Verify per-query reclamation; the twin exists for tests
+    * and the oracle — the production path is the stream.
     */
   def ingestBatchTwin(corpus: DataFrame, newDocs: DataFrame, batchOf: Column,
                       nBatches: Int, bands: Int, rowsPerBand: Int,
@@ -100,7 +107,7 @@ object IngestStream {
     for (bi <- 0 until nBatches) {
       val b = tagged.where(col("bno") === bi).select(col("doc_id"), col("text"))
       val kept = gate(ref, b, bands, rowsPerBand, threshold, shingleN)
-      val admitted = b.join(kept, Seq("doc_id"), "left_semi")
+      val admitted = b.join(kept, Seq("doc_id"), "left_semi").localCheckpoint(true)
       val labeled = admitted.select(col("doc_id"), lit(bi.toLong).as("batch_id"))
       out = if (out == null) labeled else out.unionByName(labeled)
       ref = ref.unionByName(admitted)
