@@ -126,10 +126,18 @@ class StreamingSpec extends AnyFunSuite {
     }
 
     IngestStream.runOnce(spark, corpusDir, inDir, outDir, ckDir)
-    val got = spark.read.parquet(outDir).select("doc_id", "batch_id")
+    def readOut() = spark.read.parquet(outDir).select("doc_id", "batch_id")
       .as[(Long, Long)].collect().toSet
+    val got = readOut()
     assert(got == Set((11L, 0L), (17L, 1L)),
       s"accreting stream must admit exactly 11@0 and 17@1, got $got")
+
+    // restart against the same checkpoint: all batches committed, so
+    // nothing replays and no admission flips (the sink's batch-id
+    // partitions + the strictly-earlier-batches read rule make replay
+    // idempotent by construction — this pins the committed-path half)
+    IngestStream.runOnce(spark, corpusDir, inDir, outDir, ckDir)
+    assert(readOut() == got, "restart must not duplicate or alter admissions")
 
     // the batch twin restates the same sequencing
     val newDocs = batches.zipWithIndex.flatMap { case (b, i) => b.map(d => (d._1, d._2, i.toLong)) }
