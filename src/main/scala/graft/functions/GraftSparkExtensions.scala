@@ -32,6 +32,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: argument ${pos + 1} must be an Int-range integer LITERAL, got $other")
   }
 
+  /** A SQL `array('a','b',...)` of string literals (or a folded array
+    * literal) — the term-list contract of token_term_freqs, which
+    * shapes the expression like the integer parameters do.
+    */
+  private def strArrayLit(e: Expression): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    e match {
+      case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(StringType, _)) =>
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      case ca: CreateArray if ca.foldable =>
+        ca.children.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"token_term_freqs: every term must be a string LITERAL, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"token_term_freqs: argument 2 must be array('t1','t2',...) of string LITERALS, got $other")
+    }
+  }
+
   private def register(ext: SparkSessionExtensions, name: String, arity: Int)(
       builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
@@ -59,6 +80,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "chunk_tokens", 3)(c =>
       ChunkTokens(c(0), intLit(c(1), "chunk_tokens", 1), intLit(c(2), "chunk_tokens", 2)))
     register(ext, "sorted_long_jaccard", 2)(c => SortedLongJaccard(c(0), c(1)))
+    register(ext, "sorted_long_containment", 2)(c => SortedLongContainment(c(0), c(1)))
+    register(ext, "minhash_poly_buckets_from_combined", 3)(c =>
+      MinHashPolyBucketsFromCombined(c(0),
+        intLit(c(1), "minhash_poly_buckets_from_combined", 1),
+        intLit(c(2), "minhash_poly_buckets_from_combined", 2)))
+    register(ext, "token_term_freqs", 2)(c => TokenTermFreqs(c(0), strArrayLit(c(1))))
     // embedding kernels (array<float>)
     register(ext, "dot_product_f32", 2)(c => DotProductF32(c(0), c(1)))
     register(ext, "lsh_bucket", 2)(c => LshBucket(c(0), intLit(c(1), "lsh_bucket", 1)))

@@ -117,6 +117,25 @@ class TwinSpec extends AnyFunSuite {
     val chunks = spark.sql(
       "SELECT chunk_tokens(array('a','b','c','d','e'), 3, 1) AS c").collect().head.getSeq[String](0)
     assert(chunks == Seq("a b c", "c d e"), s"sql chunks: $chunks")
+    // round-4 additions through the same mechanism
+    val r4 = spark.sql(
+      "SELECT sorted_long_containment(shingle_hashes(array('a','b'), 1), " +
+        "shingle_hashes(array('a','b','c','d'), 1)) AS c, " +
+        "token_term_freqs(array('a','b','a','c'), array('a','z')) AS tf, " +
+        "size(minhash_poly_buckets_from_combined(shingle_hashes(array('aa','bb'), 1), 4, 2)) AS nb")
+      .collect().head
+    assert(r4.getDouble(0) == 1.0, s"sql containment: ${r4.getDouble(0)}")
+    assert(r4.getSeq[Int](1) == Seq(2, 0), s"sql token_term_freqs: ${r4.getSeq[Int](1)}")
+    assert(r4.getInt(2) == 4)
+    // ...and the combined-hash bucket route agrees with the string route
+    val eq = spark.sql(
+      "SELECT minhash_poly_buckets_from_combined(shingle_hashes(array('aa','bb'), 1), 4, 2) = " +
+        "minhash_poly_buckets(array('aa','bb'), 4, 2) AS same").collect().head
+    assert(eq.getBoolean(0), "bucket routes disagree in SQL")
+    // term-list contract: a non-literal terms array raises the designed error
+    val errT = intercept[Exception](
+      spark.sql("SELECT token_term_freqs(array('a'), array(string(id))) FROM range(1)").collect())
+    assert(errT.getMessage.contains("LITERAL"), s"unhelpful error: ${errT.getMessage}")
     // parameter positions must be literals — a column there must raise
     // the designed contract error, not a bare Catalyst eval failure
     val err = intercept[Exception](
