@@ -452,6 +452,21 @@ object SparkEntry {
     "ta_bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(docs(s, dir), BmTerms, k = 25)),
 
+    // Corpus-wide top-k frequent word TRIGRAMS (boilerplate-phrase
+    // discovery — the diagnostic face of dd_span_overlap's hot-span
+    // cap): ChunkTokens at (n, n-1) enumerates every n-gram in one
+    // native pass (step 1, all windows full once len >= n); explode is
+    // map-side, count partially aggregates, top-k is TakeOrdered
+    "ta_ngram_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(Dedup.chunkTokensCol(lower(col("text")), 3, 2).as("grams"),
+          size(Dedup.wordSeqCol(col("text"))).as("nw"))
+        .where(col("nw") >= 3) // shorter docs chunk to one sub-n window
+        .select(explode(col("grams")).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(20)),
+
     // Corpus vocabulary statistics: global token frequencies, top 20 —
     // explode is map-side, the count aggregates partially before the
     // one shuffle, and the top-k is a driver-sized TakeOrdered (no
@@ -909,6 +924,15 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.9), 6) AS p90,
           |  round(quantile_cont(value, 0.99), 6) AS p99
           |FROM events GROUP BY event_type""".stripMargin,
+
+      "ta_ngram_freq" ->
+        s"""WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+           |  FROM documents),
+           |g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+           |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+           |  FROM t WHERE len(w) >= 3)
+           |SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+           |ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
 
       "ta_repetition" ->
         s"""WITH t AS (SELECT doc_id,
