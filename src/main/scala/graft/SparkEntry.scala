@@ -243,6 +243,17 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 6).as("total_acctbal"))
     }),
 
+    // J5: AS-OF JOIN — each event enriched with the user's most recent
+    // order at event time (inclusive, largest-orderkey tie rule). The
+    // union-tag + running-last implementation: ONE shuffle on the key,
+    // no range join, no per-left argmax (see operators/AsOf.scala)
+    "j5_asof_join" -> ((s, dir) =>
+      graft.operators.AsOf.asofJoin(
+        events(s, dir), leftKey = "user_id", leftTs = "ts", leftId = "event_id",
+        s.read.parquet(s"$dir/orders.parquet"),
+        rightKey = "o_custkey", rightTs = "o_orderdate", rightId = "o_orderkey",
+        rightVal = "o_totalprice")),
+
     // A14: hierarchical roll-up (lang x source with subtotals + grand
     // total) — ROLLUP is one shuffle with partial aggregation; the
     // grouping() flags disambiguate subtotal rows from any real
@@ -924,6 +935,10 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.9), 6) AS p90,
           |  round(quantile_cont(value, 0.99), 6) AS p99
           |FROM events GROUP BY event_type""".stripMargin,
+
+      "j5_asof_join" -> graft.operators.AsOf.asofOracleSql(
+        "events", "user_id", "ts", "event_id",
+        "orders", "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
 
       "ta_ngram_freq" ->
         s"""WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w

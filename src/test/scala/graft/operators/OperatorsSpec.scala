@@ -186,6 +186,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(short, n = 3, idWindow = 10, threshold = 0.1).count() == 0)
   }
 
+  test("asof join: interleaved timestamps, inclusive equal-ts, largest-id tie rule, no-match dropped") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // key 1: orders at min 10, 20, 20 (tie: ids 102,103), 40
+    // key 2: no orders at all
+    val left = Seq(
+      (1L, ts(5), 201L),   // before any order -> dropped
+      (1L, ts(10), 202L),  // exactly at order 101's ts -> inclusive match 101
+      (1L, ts(25), 203L),  // after the tied pair -> larger id 103 wins
+      (1L, ts(99), 204L),  // after everything -> 104
+      (2L, ts(50), 205L)   // key with no right rows -> dropped
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(10), 101L, 10.5),
+      (1L, ts(20), 102L, 20.5),
+      (1L, ts(20), 103L, 30.5),
+      (1L, ts(40), 104L, 40.5)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val got = AsOf.asofJoin(left, "user_id", "ts", "event_id",
+        right, "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .select(col("left_id"), col("asof_id"), col("asof_val"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((202L, 101L, 10.5), (203L, 103L, 30.5), (204L, 104L, 40.5)),
+      s"asof semantics: $got")
+  }
+
   test("containment: a verbatim excerpt scores ~1.0 where jaccard stays under threshold") {
     // doc 1 = the first 12 words of doc 0 (a quote); doc 0 is 48 words
     // long, so trigram-set jaccard ≈ 10/46 ≈ 0.22 while containment =
