@@ -243,6 +243,23 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 6).as("total_acctbal"))
     }),
 
+    // Per-user anomaly flagging: events whose value exceeds the USER'S
+    // own mean by >= 2.5 population standard deviations — per-entity
+    // z-score outliers, one shuffle on user_id feeding both window
+    // aggregates; the threshold compares the ROUNDED z on both engines
+    // so the knife edge cuts identically
+    "ev_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          avg(col("value")).over(w).as("mu"),
+          stddev_pop(col("value")).over(w).as("sd"))
+        .where(col("sd") > 0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+        .where(col("z") >= 2.5)
+    }),
+
     // J5: AS-OF JOIN — each event enriched with the user's most recent
     // order at event time (inclusive, largest-orderkey tie rule). The
     // union-tag + running-last implementation: ONE shuffle on the key,
@@ -935,6 +952,15 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.9), 6) AS p90,
           |  round(quantile_cont(value, 0.99), 6) AS p99
           |FROM events GROUP BY event_type""".stripMargin,
+
+      "ev_anomaly" ->
+        """SELECT user_id, event_id, value, z FROM (
+          |  SELECT user_id, event_id, value,
+          |    round((value - avg(value) OVER w) / (stddev_pop(value) OVER w), 6) AS z
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id)
+          |  QUALIFY (stddev_pop(value) OVER w) > 0)
+          |WHERE z >= 2.5""".stripMargin,
 
       "j5_asof_join" -> graft.operators.AsOf.asofOracleSql(
         "events", "user_id", "ts", "event_id",
