@@ -124,6 +124,17 @@ class SparkEntrySpec extends AnyFunSuite {
       s"bm25 shuffles the corpus ($corpusExchanges hash exchanges):\n${plan.take(1200)}")
   }
 
+  test("asof join and per-user anomaly: exactly ONE hash exchange each (no join, no re-shuffle)") {
+    for ((q, nx) <- Seq("j5_asof_join" -> 1, "ev_anomaly" -> 1)) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a join at all:\n${plan.take(800)}")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == nx, s"$q: expected $nx hash exchange, got $exchanges:\n${plan.take(1200)}")
+    }
+  }
+
   test("whole-stage codegen covers the normalization path") {
     val plan = SparkEntry.queries("t2_normalize_basic")(spark, sf)
       .queryExecution.executedPlan.toString
