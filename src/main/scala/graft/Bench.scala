@@ -165,7 +165,7 @@ object Bench {
       // warm the OS page cache for every input table that exists, so
       // the first query in alphabetical order doesn't absorb the cold
       // read (missing tables skipped: fixture dirs may be partial)
-      Seq("documents", "events", "lineitem", "embeddings", "customer", "nation")
+      Seq("documents", "events", "lineitem", "embeddings", "customer", "nation", "orders")
         .map(t => s"$sfDir/$t.parquet")
         .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
         .foreach(p => force(spark.read.parquet(p)))
@@ -196,9 +196,7 @@ object Bench {
         } finally
           // reclaim query-created checkpoint blocks (components
           // queries) so 2 passes x N queries can't accrete squatters
-          spark.sparkContext.getPersistentRDDs
-            .filterNot { case (id, _) => persistedBefore.contains(id) }
-            .values.foreach(_.unpersist(false))
+          org.apache.spark.sql.graft.ColumnBridge.reclaimNewRdds(spark, persistedBefore)
       }
       spark.stop()
     }

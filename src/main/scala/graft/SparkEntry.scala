@@ -487,10 +487,12 @@ object SparkEntry {
     // map-side, count partially aggregates, top-k is TakeOrdered
     "ta_ngram_freq" -> ((s, dir) =>
       docs(s, dir)
-        .select(Dedup.chunkTokensCol(lower(col("text")), 3, 2).as("grams"),
-          size(Dedup.wordSeqCol(col("text"))).as("nw"))
-        .where(col("nw") >= 3) // shorter docs chunk to one sub-n window
-        .select(explode(col("grams")).as("ngram"))
+        .select(explode(Dedup.chunkTokensCol(lower(col("text")), 3, 2)).as("ngram"))
+        // ONE whole-doc tokenization; sub-trigram remainders (docs
+        // shorter than 3 words chunk to one short window) are dropped
+        // by a per-ngram 3-token check — bounded-length splits instead
+        // of a second full-document tokenization pass
+        .where(size(split(col("ngram"), " ")) === 3)
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram").asc)
         .limit(20)),

@@ -26,9 +26,7 @@ object Verify {
         // reclaim query-created checkpoint blocks (the components
         // queries return an eager labels checkpoint): once the result
         // is written, nothing may squat in the BlockManager
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => persistedBefore.contains(id) }
-          .values.foreach(_.unpersist(false))
+        org.apache.spark.sql.graft.ColumnBridge.reclaimNewRdds(spark, persistedBefore)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

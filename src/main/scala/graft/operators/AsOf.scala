@@ -47,11 +47,18 @@ object AsOf {
     val w = Window.partitionBy(col("k"))
       .orderBy(col("ts").asc, col("is_left").asc, col("r_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // id and value carry as ONE struct, atomically: two independent
+    // last(ignoreNulls) columns would decouple when the right VALUE is
+    // null (id advancing to the newest row while the value stays from
+    // an older one — a chimera of two right rows). The struct is null
+    // exactly on left rows, so ignoreNulls skips them and a null
+    // value INSIDE the newest right row carries through as null.
+    val rStruct = when(col("is_left") === 0, struct(col("r_id"), col("r_val")))
     l.unionByName(r)
-      .withColumn("asof_id", last(col("r_id"), ignoreNulls = true).over(w))
-      .withColumn("asof_val", last(col("r_val"), ignoreNulls = true).over(w))
-      .where(col("is_left") === 1 && col("asof_id").isNotNull)
-      .select(col("left_id"), col("k"), col("asof_id"), col("asof_val"))
+      .withColumn("asof", last(rStruct, ignoreNulls = true).over(w))
+      .where(col("is_left") === 1 && col("asof").isNotNull)
+      .select(col("left_id"), col("k"),
+        col("asof.r_id").as("asof_id"), col("asof.r_val").as("asof_val"))
   }
 
   /** DuckDB oracle: the same spec stated as an explicit argmax (NOT

@@ -40,4 +40,17 @@ object ColumnBridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking)
       case _ =>
     }
+
+  /** Snapshot-diff reclamation for driver loops that run many queries
+    * in one session (Bench's 2-pass query loop, Verify's dump loop):
+    * unpersist every RDD that appeared since `before` — e.g. the eager
+    * labels checkpoint the components queries return, which nothing
+    * downstream frees. Single-sourced here so the two driver mains
+    * cannot drift (round-4 review).
+    */
+  def reclaimNewRdds(spark: org.apache.spark.sql.SparkSession,
+                     before: scala.collection.Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .values.foreach(_.unpersist(false))
 }

@@ -198,16 +198,18 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, ts(50), 205L)   // key with no right rows -> dropped
     ).toDF("user_id", "ts", "event_id")
     val right = Seq(
-      (1L, ts(10), 101L, 10.5),
-      (1L, ts(20), 102L, 20.5),
-      (1L, ts(20), 103L, 30.5),
-      (1L, ts(40), 104L, 40.5)
+      (1L, ts(10), 101L, Some(10.5)),
+      (1L, ts(20), 102L, Some(20.5)),
+      (1L, ts(20), 103L, Some(30.5)),
+      (1L, ts(40), 104L, None) // newest order has a NULL value: the
+      // (id, val) pair must carry ATOMICALLY — (104, null), never a
+      // chimera of 104's id with an older row's value
     ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
     val got = AsOf.asofJoin(left, "user_id", "ts", "event_id",
         right, "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
       .select(col("left_id"), col("asof_id"), col("asof_val"))
-      .as[(Long, Long, Double)].collect().toSet
-    assert(got == Set((202L, 101L, 10.5), (203L, 103L, 30.5), (204L, 104L, 40.5)),
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got == Set((202L, 101L, Some(10.5)), (203L, 103L, Some(30.5)), (204L, 104L, None)),
       s"asof semantics: $got")
   }
 
