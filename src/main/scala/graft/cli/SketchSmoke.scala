@@ -52,6 +52,17 @@ object SketchSmoke {
       Dedup.minhashLshPairsPoly(docs, bands = 8, rowsPerBand = 4, threshold = 0.8).count()
     }
     timed("simhash_poly") { Dedup.simhashPairsPoly(docs, maxHamming = 4).count() }
+    // round-4 ops: the inverted span index (hot identical-doc spans
+    // absorbed by the postings cap), the asymmetric containment
+    // window, and the order-sensitive ingest gate
+    timed("span_overlap_n8") { Dedup.spanOverlapPairs(docs, n = 8).count() }
+    timed("containment_w25") {
+      Dedup.containmentPairs(docs, n = 3, idWindow = 25, threshold = 0.6).count()
+    }
+    timed("ingest_gate_ngram3") {
+      Dedup.incrementalIngestFilter(docs, col("doc_id") % 2 === 0,
+        bands = 8, rowsPerBand = 4, threshold = 0.5, shingleN = 3).count()
+    }
 
     // cast to array<float>: Spark's / promotes to double, but the
     // embedding contract (like the driver table) is float32
