@@ -243,6 +243,19 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 6).as("total_acctbal"))
     }),
 
+    // Semi-structured extraction: JSON payload column parsed in-plan
+    // (get_json_object is codegen'd — no UDF) and aggregated — the
+    // props-bag pattern every event pipeline carries; parse errors and
+    // absent keys surface as NULLs that the aggregate skips
+    "ev_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).cast("long").as("max_k"))),
+
     // Per-user anomaly flagging: events whose value exceeds the USER'S
     // own mean by >= 2.5 population standard deviations — per-entity
     // z-score outliers, one shuffle on user_id feeding both window
@@ -953,6 +966,13 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.5), 6) AS p50,
           |  round(quantile_cont(value, 0.9), 6) AS p90,
           |  round(quantile_cont(value, 0.99), 6) AS p99
+          |FROM events GROUP BY event_type""".stripMargin,
+
+      "ev_json_extract" ->
+        """SELECT event_type,
+          |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
           |FROM events GROUP BY event_type""".stripMargin,
 
       "ev_anomaly" ->
