@@ -433,6 +433,29 @@ object SparkEntry {
           col("quality").as("keep_quality"), col("n_members"))
     }),
 
+    // The FULL curation pipeline as ONE composed query — what a
+    // production training-data run actually ships: exact-dedup keepers
+    // -> quality floor + repetition ceiling gates -> near-dup cluster
+    // resolution among the survivors, dropping every non-representative
+    // cluster member. Each stage is an already-oracle-checked operator;
+    // this query pins that they COMPOSE (the oracle restates the whole
+    // chain, recursive components included)
+    "tp_full_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = Dedup.exactGroups(d).select(col("keep_id").as("doc_id"))
+      val gated = d.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TS.qualityScoreCol(col("text")).as("quality"))
+        .where(col("quality") >= 0.5 &&
+          Dedup.repetitionFracCol(col("text"), 2) <= 0.9)
+      val labels = Dedup.nearDupComponents(
+        Dedup.jaccardPairs(gated, idWindow = 25, threshold = 0.8)
+          .select(col("id_a"), col("id_b")))
+      val drops = labels.where(col("id") =!= col("label")).select(col("id").as("doc_id"))
+      gated.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"))
+    }),
+
     // Incremental ingestion gate: dedup a NEW batch (odd doc_ids)
     // against the EXISTING corpus (even doc_ids) — exact digest
     // anti-join + cross-set banded MinHash near-dup semi-join; keeps
@@ -967,6 +990,23 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.9), 6) AS p90,
           |  round(quantile_cont(value, 0.99), 6) AS p99
           |FROM events GROUP BY event_type""".stripMargin,
+
+      "tp_full_curation" -> {
+        val pairs = "SELECT * FROM (" +
+          Dedup.jaccardPairsOracleSql(idWindow = 25, threshold = 0.8,
+            idsOnly = true, rel = "gated") + ") q"
+        s"""WITH keep AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
+           |pre AS (SELECT doc_id, lang, text,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w,
+           |    ${graft.text.TextStats.qualityScoreSql("text")} AS quality
+           |  FROM documents WHERE doc_id IN (SELECT kid FROM keep)),
+           |gated AS (SELECT doc_id, lang, text, quality FROM pre
+           |  WHERE quality >= 0.5 AND ${Dedup.repetitionFracSql("w", 2)} <= 0.9),
+           |labels AS (${Dedup.componentsOracleSql(pairs)}),
+           |drops AS (SELECT id FROM labels WHERE id <> label)
+           |SELECT doc_id, quality FROM gated
+           |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
+      },
 
       "ev_json_extract" ->
         """SELECT event_type,
