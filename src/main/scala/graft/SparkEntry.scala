@@ -246,11 +246,22 @@ object SparkEntry {
     // Semi-structured extraction: JSON payload column parsed in-plan
     // (get_json_object is codegen'd — no UDF) and aggregated — the
     // props-bag pattern every event pipeline carries; parse errors and
-    // absent keys surface as NULLs that the aggregate skips
+    // absent keys surface as NULLs that the aggregate skips. The
+    // fixture's props are all well-formed, so the dirty-data path is
+    // exercised by PLANTING deterministic corruption in-plan (same
+    // CASE on both engines): malformed JSON (% 97), absent key
+    // (% 101), non-integer k (% 103). try_cast (not cast) is load-
+    // bearing — the session runs ANSI mode, where cast('oops' AS
+    // BIGINT) throws instead of yielding NULL.
     "ev_json_extract" -> ((s, dir) =>
       events(s, dir)
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          when(col("event_id") % 97 === 0, lit("{not json"))
+            .when(col("event_id") % 101 === 0, lit("""{"j":1}"""))
+            .when(col("event_id") % 103 === 0, lit("""{"k":"oops"}"""))
+            .otherwise(col("props")).as("pr"))
+        .select(col("event_type"),
+          get_json_object(col("pr"), "$.k").try_cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_with_k"),
           sum(col("k")).cast("long").as("sum_k"),
@@ -760,6 +771,22 @@ object SparkEntry {
         nBatches = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
     }),
 
+    // INDEXED face of the accreting ingest gate: identical admission
+    // semantics (SAME chained oracle as st_ingest) but the reference
+    // side is persisted sketch state — corpus sketched once, each
+    // batch probes the accreted digest/bucket/toks slices and appends
+    // its own. The production path at 100 TB: no per-batch corpus
+    // re-scan (IngestIndex scaladoc; no-corpus-read pinned in
+    // StreamingSpec by deleting the corpus dir after init).
+    "st_ingest_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.streaming.IngestIndex.ingestBatchTwinIndexed(
+        corpus = d.where(col("doc_id") % 2 === 0),
+        newDocs = d.where(col("doc_id") % 2 =!= 0),
+        batchOf = pmod(floor(col("doc_id") / 100).cast("long"), lit(3)),
+        nBatches = 3, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    }),
+
     // Multimodal AUDIO: opaque PCM payload -> decode -> windowed
     // feature extraction (rms + zero crossings), the audio face of the
     // decode/feature-extract path. Square-wave synthesis makes every
@@ -1008,12 +1035,21 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
       },
 
+      // json_valid guard + TRY_CAST = DuckDB's try-semantics twin of
+      // Spark get_json_object + try_cast (json_extract_string on
+      // malformed JSON and CAST('oops') both THROW in DuckDB)
       "ev_json_extract" ->
-        """SELECT event_type,
-          |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-          |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-          |FROM events GROUP BY event_type""".stripMargin,
+        """WITH p AS (SELECT event_type,
+          |    CASE WHEN event_id % 97 = 0 THEN '{not json'
+          |         WHEN event_id % 101 = 0 THEN '{"j":1}'
+          |         WHEN event_id % 103 = 0 THEN '{"k":"oops"}'
+          |         ELSE props END AS pr FROM events),
+          |k AS (SELECT event_type,
+          |    TRY_CAST(CASE WHEN json_valid(pr) THEN json_extract_string(pr, '$.k') END AS BIGINT) AS k
+          |  FROM p)
+          |SELECT event_type, count(k) AS n_with_k,
+          |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(max(k) AS BIGINT) AS max_k
+          |FROM k GROUP BY event_type""".stripMargin,
 
       "ev_anomaly" ->
         """SELECT user_id, event_id, value, z FROM (
@@ -1051,6 +1087,12 @@ object SparkEntry {
       "dd_span_overlap" -> Dedup.spanOverlapOracleSql(n = 8),
 
       "st_ingest" -> Dedup.streamingIngestOracleSql(
+        corpusPred = "doc_id % 2 = 0", batchExpr = "(doc_id // 100) % 3",
+        nBatches = 3, bands = 8, rowsPerBand = 4, threshold = 0.8),
+
+      // indexed gate ≡ re-sketching gate by construction — verified by
+      // holding both to the SAME chained oracle
+      "st_ingest_indexed" -> Dedup.streamingIngestOracleSql(
         corpusPred = "doc_id % 2 = 0", batchExpr = "(doc_id // 100) % 3",
         nBatches = 3, bands = 8, rowsPerBand = 4, threshold = 0.8),
 

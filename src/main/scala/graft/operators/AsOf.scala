@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   * equal ts), and among right rows tied on ts the one with the
   * LARGEST `rightId` wins (rows sort ascending by id; the running
   * last overwrites). Left rows with no prior right row are dropped.
+  *
+  * Coercion contract (round-4 advice, explicit): both id columns are
+  * cast to BIGINT and the carried right value to DOUBLE — the union
+  * scan needs one common row shape across sides, and (long, double)
+  * is it. Pointing the operator at a DECIMAL value column therefore
+  * loses sub-double precision; carry exact decimals by pre-encoding
+  * (e.g. the unscaled long) and decoding after the join. Exactly one
+  * value column is carried; for several, pre-pack them into one
+  * encodable column upstream.
+  *
+  * Skew: `asofJoin` sorts each key's FULL event+order history inside
+  * one partition — one pathological key (a bot user holding most of
+  * the corpus) serializes on a single task. `asofJoinBucketed` is the
+  * skew-safe face: time is split into `nBuckets` ranges, the running
+  * last is computed per (key, bucket), and a per-bucket carry-in
+  * (the last right row of all EARLIER buckets, resolved on the tiny
+  * keys x buckets summary) patches rows whose bucket holds no prior
+  * right row. Same answer (pinned in OperatorsSpec on a one-hot-key
+  * stress fixture); max task = hottest (key, bucket) instead of
+  * hottest key.
   */
 object AsOf {
 
@@ -57,6 +77,78 @@ object AsOf {
     l.unionByName(r)
       .withColumn("asof", last(rStruct, ignoreNulls = true).over(w))
       .where(col("is_left") === 1 && col("asof").isNotNull)
+      .select(col("left_id"), col("k"),
+        col("asof.r_id").as("asof_id"), col("asof.r_val").as("asof_val"))
+  }
+
+  /** Skew-safe AS-OF: identical semantics to `asofJoin`, with the
+    * per-key sort sharded into `nBuckets` time ranges so a hot key's
+    * history spreads over `nBuckets` tasks.
+    *
+    * Three stages, all linear: (1) the same union scan windowed by
+    * (k, bkt) — the big exchange now keys on (key, time-bucket);
+    * (2) a per-(k, bkt) summary (one row each) whose running last
+    * across BUCKET order yields each bucket's carry-in — the last
+    * right row strictly before the bucket's range; (3) a join of the
+    * carry-in back onto left rows on (k, bkt) — the partitioning the
+    * window just produced — `coalesce`-ing the within-bucket running
+    * last with the carry-in. Bucket ranges
+    * are derived from the observed [min, max] ts (one scalar agg over
+    * the union — at 100 TB this is a map-side-combined 2-value
+    * reduction, or pass a known calendar range to skip it).
+    */
+  def asofJoinBucketed(left: DataFrame, leftKey: String, leftTs: String, leftId: String,
+                       right: DataFrame, rightKey: String, rightTs: String, rightId: String,
+                       rightVal: String, nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val l = left.select(col(leftKey).as("k"), col(leftTs).cast("timestamp").as("ts"),
+      col(leftId).cast("long").as("left_id"),
+      lit(null).cast("long").as("r_id"), lit(null).cast("double").as("r_val"),
+      lit(1).as("is_left"))
+    val r = right.select(col(rightKey).as("k"), col(rightTs).cast("timestamp").as("ts"),
+      lit(null).cast("long").as("left_id"),
+      col(rightId).cast("long").as("r_id"), col(rightVal).cast("double").as("r_val"),
+      lit(0).as("is_left"))
+    val u0 = l.unionByName(r).withColumn("tsu", unix_micros(col("ts")))
+    val mmRow = u0.agg(min(col("tsu")), max(col("tsu"))).head()
+    if (mmRow.isNullAt(0)) // both sides empty
+      return l.limit(0).select(col("left_id"), col("k"),
+        col("r_id").as("asof_id"), col("r_val").as("asof_val"))
+    val (tsMin, tsMax) = (mmRow.getLong(0), mmRow.getLong(1))
+    val width = math.max(1L, (tsMax - tsMin) / nBuckets + 1L)
+    val u = u0.withColumn("bkt", ((col("tsu") - lit(tsMin)) / lit(width)).cast("long"))
+
+    val rStruct = when(col("is_left") === 0, struct(col("r_id"), col("r_val")))
+    val wRun = Window.partitionBy(col("k"), col("bkt"))
+      .orderBy(col("ts").asc, col("is_left").asc, col("r_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = u.withColumn("run", last(rStruct, ignoreNulls = true).over(wRun))
+
+    // per-(k, bkt) final right struct -> carry-in = last non-null
+    // final over STRICTLY EARLIER buckets of the same key (tiny table:
+    // |keys| x nBuckets rows at most)
+    // `run` at the bucket's LAST row in window order = the bucket's
+    // last right struct; the last row is the lexicographic max of the
+    // window's own sort key (ts, is_left, r_id), nulls-smallest in
+    // both the window sort and struct comparison
+    val finals = scanned
+      .groupBy(col("k"), col("bkt"))
+      .agg(max_by(col("run"), struct(col("ts"), col("is_left"), col("r_id"))).as("fin"))
+    val wCarry = Window.partitionBy(col("k")).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = finals
+      .withColumn("carry_in", last(col("fin"), ignoreNulls = true).over(wCarry))
+      .select(col("k"), col("bkt"), col("carry_in"))
+
+    // no broadcast hint: carry is |keys| x nBuckets rows — small for
+    // hot-key workloads but NOT broadcastable at 10^9 keys. The join
+    // keys on (k, bkt), the same partitioning the window just
+    // produced, so the big side needs no new exchange; AQE broadcasts
+    // the summary side when it actually is small.
+    scanned.where(col("is_left") === 1)
+      .join(carry, Seq("k", "bkt"), "left")
+      .withColumn("asof", coalesce(col("run"), col("carry_in")))
+      .where(col("asof").isNotNull)
       .select(col("left_id"), col("k"),
         col("asof.r_id").as("asof_id"), col("asof.r_val").as("asof_val"))
   }

@@ -42,9 +42,13 @@ object Search {
       ColumnBridge.expression(Dedup.wordSeqCol(col("text"))), terms))
     val base = docs.select(col("doc_id"),
       size(Dedup.wordSeqCol(col("text"))).as("dl"), tfCol.as("tf"))
+    // avgdl as explicit exact-long-sum / count on BOTH engines (not
+    // avg): engine-native avg may accumulate in double, and an ulp
+    // difference in avgdl can flip a round(score,6) knife edge or the
+    // top-k cutoff at larger corpora (round-4 advice)
     val stats = base.agg(
       count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
       array((0 until m).map(i =>
         sum(when(col("tf")(i) > 0, 1L).otherwise(0L))): _*).as("df"))
     val score: Column = (0 until m).map { i =>
@@ -114,7 +118,8 @@ object Search {
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
        |  FROM documents),
        |base AS (SELECT doc_id, len(w) AS dl, [$tfList] AS tf FROM w),
-       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, [$dfList] AS df FROM base),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, [$dfList] AS df FROM base),
        |scored AS (SELECT doc_id, round($scoreTerms, 6) AS score FROM base, stats)
        |SELECT doc_id, score FROM scored WHERE score > 0
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin

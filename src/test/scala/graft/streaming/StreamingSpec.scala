@@ -158,6 +158,71 @@ class StreamingSpec extends AnyFunSuite {
       s"single-shot gate should admit the cross-batch dups (got $oneShot) — otherwise this test proves nothing")
   }
 
+  test("INDEXED ingest stream: same admissions as the re-sketching gate, with the corpus dir DELETED after init") {
+    import spark.implicits._
+    // same load-bearing fixture as the accreting test above: 13 (exact
+    // dup of batch-0 admission), 15 (near-dup of it), 19 (exact dup of
+    // corpus) must all reject; 11 and 17 admit
+    def toks(seed: Int, n: Int) = (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val textA = toks(1, 30)
+    val textANear = toks(1, 29) + " zz_changed"
+    val corpus = Seq((0L, toks(7, 30)), (2L, toks(8, 30))).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((11L, textA)),
+      Seq((13L, textA), (15L, textANear), (17L, toks(9, 30))),
+      Seq((19L, toks(7, 30))))
+
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-ingi-corpus").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ingi-state").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ingi-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ingi-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ingi-ck").toString
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    batches.foreach { b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1200) // distinct mod times: file order == batch order
+    }
+
+    IngestIndex.initState(spark.read.parquet(corpusDir), stateDir,
+      bands = 8, rowsPerBand = 4)
+    // the no-full-corpus-scan property, by construction: after init
+    // the corpus TEXT is gone from disk — the stream gates purely off
+    // the persisted sketch state (a corpus re-read would throw)
+    def rmTree(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+    rmTree(corpusDir)
+
+    IngestIndex.runOnceIndexed(spark, stateDir, inDir, outDir, ckDir)
+    def readOut() = spark.read.parquet(outDir).select("doc_id", "batch_id")
+      .as[(Long, Long)].collect().toSet
+    val got = readOut()
+    assert(got == Set((11L, 0L), (17L, 1L)),
+      s"indexed stream must admit exactly 11@0 and 17@1, got $got")
+
+    // restart: committed batches must not replay or flip admissions,
+    // and the state partitions must not duplicate
+    IngestIndex.runOnceIndexed(spark, stateDir, inDir, outDir, ckDir)
+    assert(readOut() == got, "restart must not duplicate or alter admissions")
+
+    // state accreted exactly the admitted docs' slices
+    val stateIds = spark.read.parquet(s"$stateDir/toks")
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(stateIds == Set((0L, -1L), (2L, -1L), (11L, 0L), (17L, 1L)),
+      s"state must hold corpus + admitted slices only, got $stateIds")
+
+    // the indexed batch twin restates the same sequencing
+    val newDocs = batches.zipWithIndex.flatMap { case (b, i) => b.map(d => (d._1, d._2, i.toLong)) }
+      .toDF("doc_id", "text", "bno")
+    val twin = IngestIndex.ingestBatchTwinIndexed(corpus, newDocs,
+        batchOf = col("bno"), nBatches = 3,
+        bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .as[(Long, Long)].collect().toSet
+    assert(twin == got, s"indexed twin $twin != indexed stream $got")
+  }
+
   test("streaming ingest gate at shingleN=3: order-sensitive admission through the stream path") {
     import spark.implicits._
     // same admission pipeline, word-TRIGRAM similarity: a REWORDED doc
