@@ -364,6 +364,16 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairsPoly(docs(s, dir), bands = 8, rowsPerBand = 4, threshold = 0.8)),
 
+    // CORPUS-WIDE cluster resolution — the production dedup face at
+    // 100 TB: banded MinHash-LSH candidate pairs over the WHOLE corpus
+    // (no id window) feeding star-contraction components. Composes the
+    // two already-audited plans end to end; previously only exercised
+    // piecewise (round-4 verdict #3).
+    "tp_lsh_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(
+          Dedup.minhashLshPairsPoly(docs(s, dir), bands = 8, rowsPerBand = 4, threshold = 0.8))
+        .select(col("id"), col("label"))),
+
     // Dedup: SimHash near-dup pairs (poly 30-bit signature, 10-bit
     // third blocking; oracle-checked end to end like dd_minhash_lsh)
     "dd_simhash" -> ((s, dir) =>
@@ -512,6 +522,44 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.9)"), 6).as("p90"),
         round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+
+    // PRODUCTION face of the quantile summary (round-4 verdict #1):
+    // exact `percentile` materializes a per-group value buffer — with
+    // 5 event types over a 10^12-row events table one aggregation
+    // buffer absorbs ~1/5 of the corpus, an executor OOM invisible at
+    // sf0.1. approx_percentile is the scale shape: a bounded-memory
+    // mergeable GK sketch, rank error <= n/accuracy by contract. The
+    // sketch value itself is merge-order-dependent, so the ORACLE
+    // checks the CONTRACT, not the value: the approx value's true
+    // rank interval [count(<v), count(<=v)], computed exactly
+    // in-plan, must intersect [p*n - n/acc - 1, p*n + n/acc + 1];
+    // DuckDB independently states n and the always-true bound flags.
+    // (The rank-back-join is oracle harness, not production cost; a
+    // production run ships the sketch output directly. Value-space
+    // |approx-exact| bounds don't exist for arbitrary distributions —
+    // rank space is the guarantee GK actually makes; the skewed-
+    // distribution sandwich vs exact percentile is pinned in
+    // SparkEntrySpec.)
+    "ev_quantiles_approx" -> ((s, dir) => {
+      val acc = 1000
+      val q = events(s, dir).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(value, array(0.5D, 0.9D, 0.99D), $acc)").as("ap"))
+        .select(col("event_type"), col("n"),
+          col("ap")(0).as("a50"), col("ap")(1).as("a90"), col("ap")(2).as("a99"))
+      val ev = events(s, dir).select(col("event_type").as("et"), col("value"))
+      def ok(p: Double, a: Column) = {
+        val target = lit(p) * col("n").cast("double")
+        val slack = col("n").cast("double") / lit(acc.toDouble) + lit(1.0)
+        (sum(when(col("value") < a, 1L).otherwise(0L)).cast("double") <= target + slack) &&
+          (sum(when(col("value") <= a, 1L).otherwise(0L)).cast("double") >= target - slack)
+      }
+      q.join(ev, col("event_type") === col("et"))
+        .groupBy(col("event_type"), col("n"), col("a50"), col("a90"), col("a99"))
+        .agg(ok(0.5, col("a50")).as("p50_ok"), ok(0.9, col("a90")).as("p90_ok"),
+          ok(0.99, col("a99")).as("p99_ok"))
+        .select(col("event_type"), col("n"), col("p50_ok"), col("p90_ok"), col("p99_ok"))
+    }),
 
     // Unigram LM quality scoring (CCNet-style): per-doc mean token
     // log-probability under the corpus's own unigram distribution —
@@ -1000,6 +1048,11 @@ object SparkEntry {
       // constants as the operators (Dedup/Similarity *.OracleSql)
       "dd_minhash_lsh" -> Dedup.minhashLshOracleSql(bands = 8, rowsPerBand = 4, threshold = 0.8),
 
+      // recursive CTE over the corpus-wide LSH-pair SQL — the same
+      // composition the Spark side runs
+      "tp_lsh_components" -> Dedup.componentsOracleSql("SELECT id_a, id_b FROM (" +
+        Dedup.minhashLshOracleSql(bands = 8, rowsPerBand = 4, threshold = 0.8) + ") q"),
+
       "tp_incremental_ingest" -> Dedup.incrementalIngestOracleSql(
         corpusPred = "doc_id % 2 = 0", bands = 8, rowsPerBand = 4, threshold = 0.8),
 
@@ -1016,6 +1069,15 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.5), 6) AS p50,
           |  round(quantile_cont(value, 0.9), 6) AS p90,
           |  round(quantile_cont(value, 0.99), 6) AS p99
+          |FROM events GROUP BY event_type""".stripMargin,
+
+      // the sketch contract stated from the oracle's side: exact n,
+      // and the rank-bound flags MUST all hold (the Spark side
+      // computes them from exact back-join rank counts — a sketch
+      // whose error exceeded n/acc+1 would hash-mismatch here)
+      "ev_quantiles_approx" ->
+        """SELECT event_type, count(*) AS n,
+          |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
           |FROM events GROUP BY event_type""".stripMargin,
 
       "tp_full_curation" -> {

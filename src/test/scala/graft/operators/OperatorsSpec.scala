@@ -213,6 +213,64 @@ class OperatorsSpec extends AnyFunSuite {
       s"asof semantics: $got")
   }
 
+  test("asof bucketed: same answers as the per-key scan under one-hot-key skew; window shards on (k, bkt)") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // tie/null/no-match semantics fixture (same cases as the plain
+    // asof test) PLUS a pathological key: key 7 holds ~all rows — the
+    // shape that serializes asofJoin onto one task
+    val hotLeft = (0 until 20000).map(i => (7L, ts(i), 10000L + i))
+    val hotRight = (0 until 2000).map(i => (7L, ts(i * 10 + 1), 50000L + i, Some(i * 1.5)))
+    val left = (Seq(
+      (1L, ts(5), 201L), (1L, ts(10), 202L), (1L, ts(25), 203L),
+      (1L, ts(99), 204L), (2L, ts(50), 205L)) ++ hotLeft)
+      .toDF("user_id", "ts", "event_id")
+    val right = (Seq(
+      (1L, ts(10), 101L, Some(10.5)), (1L, ts(20), 102L, Some(20.5)),
+      (1L, ts(20), 103L, Some(30.5)), (1L, ts(40), 104L, Option.empty[Double])) ++ hotRight)
+      .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("left_id"), col("k"), col("asof_id"), col("asof_val"))
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+    val plain = collect(AsOf.asofJoin(left, "user_id", "ts", "event_id",
+      right, "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"))
+    val bucketed = AsOf.asofJoinBucketed(left, "user_id", "ts", "event_id",
+      right, "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice", nBuckets = 16)
+    assert(collect(bucketed) == plain,
+      "bucketed asof must reproduce the per-key scan exactly (ties, null carry, hot key)")
+    assert(plain.size == 3 + 20000 - 1, s"fixture sanity: ${plain.size}")
+    // the skew mechanism itself: the big window exchange keys on
+    // (k, bkt), not k alone
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(k#\\d+L?, bkt#\\d+L?".r.findFirstIn(plan).isDefined,
+      s"bucketed window must partition on (k, bkt); plan:\n${plan.take(2000)}")
+  }
+
+  test("approx quantiles: GK sketch holds its rank bound on a heavily skewed distribution") {
+    // 50k rows: 90% point mass at 0.0, 10% x^4 heavy tail to 1e6 —
+    // the shape that breaks naive equi-width value summaries
+    val vals = (0 until 50000).map { i =>
+      if (i % 10 != 0) 0.0 else math.pow((i / 10).toDouble / 5000.0, 4) * 1e6
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+    val acc = 1000
+    val ap = df.agg(expr(s"approx_percentile(value, array(0.5D, 0.9D, 0.99D), $acc)"))
+      .head().getSeq[Double](0)
+    val n = vals.size
+    val sorted = vals.sorted
+    val slack = n.toDouble / acc + 1
+    Seq(0.5, 0.9, 0.99).zip(ap).foreach { case (p, a) =>
+      val lt = vals.count(_ < a).toDouble
+      val le = vals.count(_ <= a).toDouble
+      // rank interval of the returned value must intersect p*n ± slack
+      assert(lt <= p * n + slack && le >= p * n - slack,
+        s"p=$p: approx=$a rank=[$lt,$le] outside ${p * n} ± $slack")
+      // value sandwich: between the exact quantiles at p ∓ ε
+      val lo = sorted(math.max(0, (p * n - slack).toInt - 1))
+      val hi = sorted(math.min(n - 1, (p * n + slack).toInt))
+      assert(a >= lo && a <= hi, s"p=$p: approx=$a outside exact-quantile sandwich [$lo, $hi]")
+    }
+  }
+
   test("containment: a verbatim excerpt scores ~1.0 where jaccard stays under threshold") {
     // doc 1 = the first 12 words of doc 0 (a quote); doc 0 is 48 words
     // long, so trigram-set jaccard ≈ 10/46 ≈ 0.22 while containment =
