@@ -501,6 +501,18 @@ object SparkEntry {
       Dedup.incrementalIngestFilter(docs(s, dir), col("doc_id") % 2 === 0,
         bands = 8, rowsPerBand = 4, threshold = 0.5, shingleN = 3)),
 
+    // EXCERPT-AWARE ingest gate: Jaccard-only admission lets through a
+    // new doc that embeds a corpus doc verbatim inside much new text;
+    // this variant also rejects on trigram-shingle CONTAINMENT >= 0.9
+    // (dd_containment's kernel in the verify). Narrow bands
+    // (rowsPerBand=1) keep candidate recall high at excerpt-level
+    // Jaccard — the containment verify supplies the precision
+    // (excerpt fixture pinned in OperatorsSpec)
+    "tp_ingest_containment" -> ((s, dir) =>
+      Dedup.incrementalIngestFilter(docs(s, dir), col("doc_id") % 2 === 0,
+        bands = 32, rowsPerBand = 1, threshold = 0.5, shingleN = 3,
+        containment = Some(0.9))),
+
     // Repetition quality signals (Gopher-rule style): per-doc
     // duplicate-token / duplicate-2-gram / duplicate-3-gram fractions
     // + the filter flag a curation pipeline would gate on — one narrow
@@ -574,6 +586,18 @@ object SparkEntry {
     // TakeOrdered top-k
     "ta_bm25_topk" -> ((s, dir) =>
       Search.bm25TopK(docs(s, dir), BmTerms, k = 25)),
+
+    // Build-once/query-many face of BM25: corpus tokenized ONCE into a
+    // term-hash-partitioned postings index (lake seam), the query
+    // reads only the probed terms' partitions — same scores, held to
+    // the SAME oracle as ta_bm25_topk (SearchIndex scaladoc;
+    // PartitionFilters pruning pinned in OperatorsSpec)
+    "ta_bm25_indexed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bmidx").toString
+      val idx = graft.operators.SearchIndex.build(
+        docs(s, dir), new graft.lake.ParquetLake(tmp), "bm")
+      graft.operators.SearchIndex.queryTopK(s, idx, BmTerms, k = 25)
+    }),
 
     // Corpus-wide top-k frequent word TRIGRAMS (boilerplate-phrase
     // discovery — the diagnostic face of dd_span_overlap's hot-span
@@ -1060,7 +1084,14 @@ object SparkEntry {
         corpusPred = "doc_id % 2 = 0", bands = 8, rowsPerBand = 4, threshold = 0.5,
         shingleN = 3),
 
+      "tp_ingest_containment" -> Dedup.incrementalIngestOracleSql(
+        corpusPred = "doc_id % 2 = 0", bands = 32, rowsPerBand = 1, threshold = 0.5,
+        shingleN = 3, containment = Some(0.9)),
+
       "ta_bm25_topk" -> Search.bm25OracleSql(BmTerms, k = 25),
+
+      // the persisted index must reproduce the one-shot ranking exactly
+      "ta_bm25_indexed" -> Search.bm25OracleSql(BmTerms, k = 25),
 
       "ta_unigram_logprob" -> Search.unigramLogProbOracleSql,
 

@@ -327,6 +327,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(5L, 7L), s"kept: $kept")
   }
 
+  test("excerpt-aware ingest gate: verbatim embedding of a corpus doc rejected by containment, admitted by jaccard-only") {
+    // corpus doc 0: a 14-word notice; new doc 11 embeds it verbatim
+    // inside 42 fresh words (trigram jaccard ~0.2 — under every
+    // symmetric threshold); new doc 13 is genuinely fresh
+    val notice = (0 until 14).map(i => s"n$i").mkString(" ")
+    val fresh1 = (0 until 21).map(i => s"a$i").mkString(" ")
+    val fresh2 = (0 until 21).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, notice, true),
+      (11L, s"$fresh1 $notice $fresh2", false),
+      (13L, (0 until 40).map(i => s"c$i").mkString(" "), false))
+      .toDF("doc_id", "text", "is_c")
+    def gate(cont: Option[Double]) =
+      Dedup.incrementalIngestFilter(docs, col("is_c"),
+        bands = 32, rowsPerBand = 1, threshold = 0.5, shingleN = 3,
+        containment = cont).as[Long].collect().toSet
+    assert(gate(None) == Set(11L, 13L),
+      "jaccard-only admission must MISS the embedded excerpt (that gap is what the variant exists for)")
+    assert(gate(Some(0.9)) == Set(13L),
+      "containment verify must reject the excerpt host and keep the fresh doc")
+  }
+
   test("incremental ingest gate: near-dup of a template repeated beyond the bucket cap is still rejected") {
     // round-3 advice: dropping whole hot buckets turned heavy corpus
     // duplication into an admission bypass — every (band, bucket) the
@@ -488,6 +510,32 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = IvfIndex.queryTopK(loaded, queries, k = 3, nProbe = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), plan.take(900))
+  }
+
+  test("persisted BM25 index: queryTopK == one-shot bm25TopK; probed terms prune partitions at the scan") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    // varied dl and tf; "needle" rare (high idf), "spark" common with tf=2
+    val docs = (0 until 80).map { i =>
+      val words = (0 until (8 + i % 9)).map(j => vocab((i * 5 + j * 3) % vocab.size)) ++
+        (if (i % 7 == 0) Seq("needle") else Nil) ++
+        (if (i % 3 == 0) Seq("spark", "spark") else Nil)
+      (i.toLong, words.mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val terms = Seq("needle", "spark", "gamma")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val lake = new graft.lake.ParquetLake(dir)
+    val idx = SearchIndex.build(docs, lake, "bm", nBuckets = 16)
+    val got = SearchIndex.queryTopK(spark, idx, terms, k = 10)
+      .as[(Long, Double)].collect().toList
+    val want = Search.bm25TopK(docs, terms, k = 10)
+      .as[(Long, Double)].collect().toList
+    assert(got == want, s"index path diverged:\n got=$got\nwant=$want")
+    assert(got.nonEmpty && got.head._2 > got.last._2, "fixture sanity: scores must vary")
+    // the probed-term filter must reach the scan as a pterm partition
+    // filter (directory pruning), not a post-scan data filter
+    val plan = SearchIndex.queryTopK(spark, idx, terms, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [pterm"), plan.take(900))
   }
 
   test("embed-cosine near-dup: windowed pairs == independent recompute; LSH recovers planted dups") {
