@@ -295,6 +295,18 @@ object SparkEntry {
         rightKey = "o_custkey", rightTs = "o_orderdate", rightId = "o_orderkey",
         rightVal = "o_totalprice")),
 
+    // Skew-safe AS-OF: the same join sharded over (key, time-bucket)
+    // with per-bucket carry-in — the variant that survives one user
+    // holding most of the event history. Held to the SAME oracle as
+    // j5_asof_join (identity pinned under a one-hot-key fixture in
+    // OperatorsSpec).
+    "j5_asof_bucketed" -> ((s, dir) =>
+      graft.operators.AsOf.asofJoinBucketed(
+        events(s, dir), leftKey = "user_id", leftTs = "ts", leftId = "event_id",
+        s.read.parquet(s"$dir/orders.parquet"),
+        rightKey = "o_custkey", rightTs = "o_orderdate", rightId = "o_orderkey",
+        rightVal = "o_totalprice", nBuckets = 16)),
+
     // A14: hierarchical roll-up (lang x source with subtotals + grand
     // total) — ROLLUP is one shuffle with partial aggregation; the
     // grouping() flags disambiguate subtotal rows from any real
@@ -793,6 +805,21 @@ object SparkEntry {
         .select(unix_timestamp(col("window_start")).cast("long").as("window_start_epoch"),
           col("event_type"), col("n"), col("total_value"))),
 
+    // Streaming JSON-props rollup twin: stateless in-plan extraction
+    // feeding the watermarked windowed aggregation (one definition
+    // runs as stream and twin; stream ≡ twin pinned in StreamingSpec)
+    "st_json_extract" -> ((s, dir) =>
+      graft.streaming.EventsStream.jsonBatchEquivalent(s, s"$dir/events.parquet")
+        .select(unix_timestamp(col("window_start")).cast("long").as("window_start_epoch"),
+          col("event_type"), col("n_with_k"), col("sum_k"))),
+
+    // Streaming windowed anomaly twin: per-(user, day-window) z-score
+    // flags — the custom-state stream (buffer per open window, emit at
+    // event-time timeout) restated as two batch window functions
+    // (stream ≡ twin pinned in StreamingSpec)
+    "st_anomaly" -> ((s, dir) =>
+      graft.streaming.EventsStream.anomalyBatch(events(s, dir))),
+
     // Multimodal: frame sampling over multi-frame payloads ("video"):
     // decode -> split frames -> sample every 2nd -> per-frame metadata
     "mm_frame_sample" -> ((s, dir) => {
@@ -1157,6 +1184,10 @@ object SparkEntry {
         "events", "user_id", "ts", "event_id",
         "orders", "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
 
+      "j5_asof_bucketed" -> graft.operators.AsOf.asofOracleSql(
+        "events", "user_id", "ts", "event_id",
+        "orders", "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+
       "ta_ngram_freq" ->
         s"""WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
            |  FROM documents),
@@ -1347,6 +1378,23 @@ object SparkEntry {
       "st_windowed_agg" ->
         ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_epoch, " +
           "event_type, count(*) AS n, round(sum(value), 6) AS total_value FROM events GROUP BY 1, 2"),
+
+      "st_json_extract" ->
+        ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_epoch, " +
+          "event_type, count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k, " +
+          "CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
+          "FROM events GROUP BY 1, 2"),
+
+      "st_anomaly" ->
+        """SELECT user_id, window_start_ms, event_id, value, z FROM (
+          |  SELECT user_id,
+          |    CAST(epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start_ms,
+          |    event_id, value,
+          |    round((value - avg(value) OVER w) / (stddev_pop(value) OVER w), 6) AS z
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts))
+          |  QUALIFY (stddev_pop(value) OVER w) > 0)
+          |WHERE z >= 2.0""".stripMargin,
 
       "mm_frame_sample" -> {
         val dims = Vocab.Sentences.map(t => SynthRenderer.dimensions(t, 0))

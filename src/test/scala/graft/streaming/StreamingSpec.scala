@@ -253,6 +253,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(uni.isEmpty, s"unigram gate should reject both, got $uni")
   }
 
+  test("streaming JSON-props rollup: stream == batch twin (absent keys null-skipped)") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-05-01 00:00:00").getTime
+    def ev(id: Long, user: Long, typ: String, offMin: Int, value: Double, props: String) =
+      (id, new java.sql.Timestamp(base + offMin * 60000L), user, typ, value, props)
+    val f1 = Seq(
+      ev(1, 1, "click", 0, 1.0, """{"k": 3}"""),
+      ev(2, 1, "click", 1, 1.0, """{"k": 5}"""),
+      ev(3, 2, "view", 2, 1.0, """{"j": 9}"""), // absent key -> null
+      ev(4, 2, "view", 6, 1.0, """{"k": 7}"""))
+    val f2 = Seq(
+      ev(5, 3, "click", 3, 1.0, """{"k": 11}"""), // late-file row, same window as f1
+      ev(6, 3, "view", 12, 1.0, """{"k": 2}"""))
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    Seq(f1, f2).foreach { f =>
+      f.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("window_start").cast("long"), col("event_type"),
+        col("n_with_k"), col("sum_k"))
+        .as[(Long, String, Long, Option[Long])].collect().toSet
+    val got = norm(EventsStream.runJsonOnce(spark, dir, s"json_${System.nanoTime()}"))
+    val want = norm(EventsStream.jsonBatchEquivalent(spark, dir))
+    assert(got == want && got.nonEmpty, s"stream $got != twin $want")
+  }
+
+  test("streaming windowed anomaly: custom-state stream == batch twin for watermark-closed windows") {
+    import spark.implicits._
+    val day = java.sql.Timestamp.valueOf("2026-05-01 00:00:00").getTime
+    def ev(id: Long, user: Long, dayOff: Int, offMin: Int, value: Double) =
+      (id, new java.sql.Timestamp(day + dayOff * 86400000L + offMin * 60000L),
+        user, "click", value, """{}""")
+    // user 1 day 0: nine 1.0s and a 10.0 -> mu=1.9, sd=2.7 exactly, so
+    // z(10.0)=3.0 flags; user 2 day 0: constant (sd=0, nothing); user 3
+    // day 1: four 2.0s and a 12.0 -> sd=4 exactly, z=2.0 flags at the
+    // knife edge (exact doubles — deterministic on every engine).
+    // Split across two files so user 1's window buffers CROSS-BATCH;
+    // the day-3 pusher advances the watermark past both windows (its
+    // own single-event window closes too but emits nothing: sd=0).
+    val f1 = (0 until 5).map(i => ev(100 + i, 1, 0, i, 1.0)) ++
+      (0 until 4).map(i => ev(200 + i, 2, 0, i, 5.0))
+    val f2 = (5 until 9).map(i => ev(100 + i, 1, 0, i, 1.0)) :+ ev(109, 1, 0, 9, 10.0)
+    val f3 = (0 until 4).map(i => ev(300 + i, 3, 1, i, 2.0)) :+ ev(304, 3, 1, 4, 12.0)
+    val f4 = Seq(ev(999, 99, 3, 0, 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    Seq(f1, f2, f3, f4).foreach { f =>
+      f.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    val got = EventsStream.runAnomalyOnce(spark, dir, s"anom_${System.nanoTime()}")
+      .select("user_id", "window_start_ms", "event_id", "value", "z")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    val want = EventsStream.anomalyBatch(
+        spark.read.schema(EventsStream.eventsSchema).parquet(dir))
+      .where(col("user_id") =!= 99) // the pusher's window never closes
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(want.map(_._3) == Set(109L, 304L), s"twin fixture sanity: $want")
+    assert(got == want, s"stream $got != twin $want")
+  }
+
   test("streaming exact-dedup: first arrival across micro-batches == batch earliest-per-key twin") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime

@@ -40,6 +40,14 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # a query that THREW in Verify has an oracle entry but no output
+    # dir — that must fail the gate loudly, not vanish from the report
+    # (st_anomaly's TIMESTAMP_NTZ failure hid exactly this way)
+    missing = sorted(set(oracles) - {n for n in os.listdir(out_dir)
+                                     if os.path.isdir(os.path.join(out_dir, n))})
+    for name in missing:
+        print(f"[FAIL-MISSING] {name}: oracle present but Verify wrote no output (query threw?)")
+        failures += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
