@@ -208,7 +208,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(readOut() == got, "restart must not duplicate or alter admissions")
 
     // state accreted exactly the admitted docs' slices
-    val stateIds = spark.read.parquet(s"$stateDir/toks")
+    val stateIds = spark.read.parquet(s"$stateDir/meta")
       .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
     assert(stateIds == Set((0L, -1L), (2L, -1L), (11L, 0L), (17L, 1L)),
       s"state must hold corpus + admitted slices only, got $stateIds")
