@@ -284,11 +284,15 @@ object Bench {
     // compact line (totals + per-query seconds + scaling evidence)
     // that always fits the capture and always parses.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"timing_protocol":"per-query min of 2 interleaved passes in one session","failed_queries":$failedList,"failed":$failedObj,"queries":$qs,"query_passes":$passesObj,"query_peak_task_mem_bytes":$peakObj$scaling,"sf":"$sfDir"}"""
+    // one shared template; the two emissions differ ONLY in the bulky
+    // maps (file) vs the report pointer (stdout) — no copy-paste drift
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"timing_protocol":"per-query min of 2 interleaved passes in one session","failed_queries":$failedList,"failed":$failedObj,"queries":$qs"""
+    val tail = s"""$scaling,"sf":"$sfDir"}"""
+    val fullJson = s"""{$head,"query_passes":$passesObj,"query_peak_task_mem_bytes":$peakObj$tail"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"timing_protocol":"per-query min of 2 interleaved passes in one session","full_report_file":${jstr(fullPath)},"failed_queries":$failedList,"failed":$failedObj,"queries":$qs$scaling,"sf":"$sfDir"}""")
+    println(s"""{$head,"full_report_file":${jstr(fullPath)}$tail""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} QUERIES FAILED: ${failed.map(_._1).mkString(", ")} (total excludes them)")
   }

@@ -39,6 +39,10 @@ object SparkEntry {
     */
   private val BmTerms = Seq("dup", "spark", "vector", "join")
 
+  /** One persisted BM25 index per input dir per JVM (ta_bm25_indexed). */
+  private val bmIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.SearchIndex.Index]()
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -603,11 +607,16 @@ object SparkEntry {
     // term-hash-partitioned postings index (lake seam), the query
     // reads only the probed terms' partitions — same scores, held to
     // the SAME oracle as ta_bm25_topk (SearchIndex scaladoc;
-    // PartitionFilters pruning pinned in OperatorsSpec)
+    // PartitionFilters pruning pinned in OperatorsSpec). The index is
+    // cached per input dir for the JVM's lifetime — build-once is the
+    // operator's POINT, so bench pass 2 (and the per-query min)
+    // measures the amortized probe, not a rebuild, and repeated runs
+    // don't accrete temp dirs (review round-5).
     "ta_bm25_indexed" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bmidx").toString
-      val idx = graft.operators.SearchIndex.build(
-        docs(s, dir), new graft.lake.ParquetLake(tmp), "bm")
+      val idx = bmIdxCache.computeIfAbsent(dir, d => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bmidx").toString
+        graft.operators.SearchIndex.build(docs(s, d), new graft.lake.ParquetLake(tmp), "bm")
+      })
       graft.operators.SearchIndex.queryTopK(s, idx, BmTerms, k = 25)
     }),
 

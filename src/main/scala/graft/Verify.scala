@@ -14,6 +14,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // START CLEAN: a reused out dir would leave STALE result dirs for
+    // queries that throw before their overwrite (analysis-time errors
+    // never reach the write), and the oracle gate would then compare —
+    // and possibly MATCH — last run's parquet, hiding exactly the
+    // regression class the gate exists to catch.
+    val outRoot = Paths.get(outDir)
+    if (Files.exists(outRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(outRoot).iterator().asScala.toSeq.reverse
+        .filterNot(_ == outRoot).foreach(Files.delete)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet

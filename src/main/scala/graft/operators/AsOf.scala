@@ -111,10 +111,13 @@ object AsOf {
       lit(0).as("is_left"))
     val u0 = l.unionByName(r).withColumn("tsu", unix_micros(col("ts")))
     val mmRow = u0.agg(min(col("tsu")), max(col("tsu"))).head()
-    if (mmRow.isNullAt(0)) // both sides empty
-      return l.limit(0).select(col("left_id"), col("k"),
-        col("r_id").as("asof_id"), col("r_val").as("asof_val"))
-    val (tsMin, tsMax) = (mmRow.getLong(0), mmRow.getLong(1))
+    // empty input, or every ts NULL (min skips nulls): constants are
+    // arbitrary then — null-ts rows land in the NULL bucket, which
+    // sorts first in both windows, reproducing asofJoin's NULLS FIRST
+    // order exactly (review round-5: an early empty return here
+    // diverged from asofJoin on the all-null corner)
+    val (tsMin, tsMax) =
+      if (mmRow.isNullAt(0)) (0L, 0L) else (mmRow.getLong(0), mmRow.getLong(1))
     val width = math.max(1L, (tsMax - tsMin) / nBuckets + 1L)
     val u = u0.withColumn("bkt", ((col("tsu") - lit(tsMin)) / lit(width)).cast("long"))
 

@@ -52,8 +52,15 @@ object SearchIndex {
     lake.write(
       written.groupBy(col("pterm"), col("term")).agg(count(lit(1)).as("df")),
       s"${name}_terms", partitionBy = Seq("pterm"))
-    // stats over ALL docs (including term-free ones), like bm25TopK
-    lake.write(base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+    // stats over ALL docs (including term-free ones, like bm25TopK)
+    // with NO second tokenization pass (review round-5): n_docs is a
+    // text-free count of the docs relation; sum_dl reduces the written
+    // postings' denormalized dl (one per posting-bearing doc — a
+    // token-free doc's dl is 0 and contributes nothing to the sum)
+    val nDocs = docs.count()
+    lake.write(
+      written.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(lit(nDocs).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
       s"${name}_stats")
     Index(lake, name, nBuckets)
   }

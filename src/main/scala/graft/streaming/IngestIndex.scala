@@ -86,9 +86,14 @@ object IngestIndex {
         val s = batch.sparkSession
         val (sm, sb) = readState(s, stateDir, batchId)
         val b = batch.select(col("doc_id"), col("text"))
-        val (bm, bb) = Dedup.sketchSlices(b, bands, rowsPerBand, shingleN)
-        // admitted ids are reused by three writes — materialize the
-        // gate ONCE (plan-reevaluation trap: see ingestBatchTwin)
+        // batch slices materialize ONCE: they feed the gate AND the
+        // admitted-state writes — without the checkpoint each consumer
+        // would re-tokenize the batch (the "sketched exactly once"
+        // contract, review round-5); `kept` likewise (plan-
+        // reevaluation trap: see ingestBatchTwin)
+        val (bm0, bb0) = Dedup.sketchSlices(b, bands, rowsPerBand, shingleN)
+        val bm = bm0.localCheckpoint(true)
+        val bb = bb0.localCheckpoint(true)
         val kept = Dedup.indexedIngestFilter(bm, bb, sm, sb,
           threshold, maxBucketSize).localCheckpoint(true)
         def admitted(df: DataFrame) = df.join(kept, Seq("doc_id"), "left_semi")
@@ -128,7 +133,10 @@ object IngestIndex {
     var out: DataFrame = null
     for (bi <- 0 until nBatches) {
       val b = tagged.where(col("bno") === bi).select(col("doc_id"), col("text"))
-      val (bm, bb) = Dedup.sketchSlices(b, bands, rowsPerBand, shingleN)
+      // one materialization per batch's slices (see ingestStreamIndexed)
+      val (bm0, bb0) = Dedup.sketchSlices(b, bands, rowsPerBand, shingleN)
+      val bm = bm0.localCheckpoint(true)
+      val bb = bb0.localCheckpoint(true)
       val kept = Dedup.indexedIngestFilter(bm, bb, sm, sb,
         threshold, maxBucketSize).localCheckpoint(true)
       def admitted(df: DataFrame) = df.join(kept, Seq("doc_id"), "left_semi")

@@ -220,13 +220,18 @@ class OperatorsSpec extends AnyFunSuite {
     // shape that serializes asofJoin onto one task
     val hotLeft = (0 until 20000).map(i => (7L, ts(i), 10000L + i))
     val hotRight = (0 until 2000).map(i => (7L, ts(i * 10 + 1), 50000L + i, Some(i * 1.5)))
+    // key 5: NULL timestamps on both sides — null ts sorts first
+    // (NULLS FIRST) in the plain scan; the bucketed variant must
+    // reproduce that through its NULL bucket
     val left = (Seq(
       (1L, ts(5), 201L), (1L, ts(10), 202L), (1L, ts(25), 203L),
-      (1L, ts(99), 204L), (2L, ts(50), 205L)) ++ hotLeft)
+      (1L, ts(99), 204L), (2L, ts(50), 205L),
+      (5L, null.asInstanceOf[java.sql.Timestamp], 206L)) ++ hotLeft)
       .toDF("user_id", "ts", "event_id")
     val right = (Seq(
       (1L, ts(10), 101L, Some(10.5)), (1L, ts(20), 102L, Some(20.5)),
-      (1L, ts(20), 103L, Some(30.5)), (1L, ts(40), 104L, Option.empty[Double])) ++ hotRight)
+      (1L, ts(20), 103L, Some(30.5)), (1L, ts(40), 104L, Option.empty[Double]),
+      (5L, null.asInstanceOf[java.sql.Timestamp], 105L, Some(7.5))) ++ hotRight)
       .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
     def collect(df: org.apache.spark.sql.DataFrame) =
       df.select(col("left_id"), col("k"), col("asof_id"), col("asof_val"))
@@ -236,8 +241,9 @@ class OperatorsSpec extends AnyFunSuite {
     val bucketed = AsOf.asofJoinBucketed(left, "user_id", "ts", "event_id",
       right, "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice", nBuckets = 16)
     assert(collect(bucketed) == plain,
-      "bucketed asof must reproduce the per-key scan exactly (ties, null carry, hot key)")
-    assert(plain.size == 3 + 20000 - 1, s"fixture sanity: ${plain.size}")
+      "bucketed asof must reproduce the per-key scan exactly (ties, null carry, null ts, hot key)")
+    assert(plain.size == 3 + 1 + 20000 - 1, s"fixture sanity: ${plain.size}")
+    assert(plain.contains((206L, 5L, 105L, Some(7.5))), s"null-ts pair must match: $plain")
     // the skew mechanism itself: the big window exchange keys on
     // (k, bkt), not k alone
     val plan = bucketed.queryExecution.executedPlan.toString
