@@ -64,6 +64,58 @@ object SketchSmoke {
         bands = 8, rowsPerBand = 4, threshold = 0.5, shingleN = 3).count()
     }
 
+    // persisted-sketch ingest index vs the re-sketching gate in the
+    // regime the index exists for (corpus >> batch): 3 sequential
+    // accreting batches of n/100 docs against a ~n-doc corpus. The
+    // re-sketching face pays a full corpus tokenize+hash PER BATCH;
+    // the indexed face pays it once at init and then only probes.
+    // Compare `ingest_resketch_3b` against `ingest_index_init` (the
+    // one-time cost) + `ingest_indexed_3b` (the steady-state cost —
+    // the number that scales to batch k for all k).
+    val batchSize = math.max(n / 100, 10)
+    val corpusD = docs.where(col("doc_id") >= 3L * batchSize)
+      .select(col("doc_id"), col("text"))
+    def batchOf(k: Int) = docs
+      .where(col("doc_id") >= k.toLong * batchSize &&
+        col("doc_id") < (k + 1).toLong * batchSize)
+      .select(col("doc_id"), col("text"))
+    timed("ingest_resketch_3b") {
+      var ref = corpusD
+      var total = 0L
+      for (k <- 0 until 3) {
+        val b = batchOf(k)
+        val kept = graft.streaming.IngestStream.gate(ref, b,
+          bands = 8, rowsPerBand = 4, threshold = 0.8)
+        val admitted = b.join(kept, Seq("doc_id"), "left_semi").localCheckpoint(true)
+        total += admitted.count()
+        ref = ref.unionByName(admitted)
+      }
+      total
+    }
+    var sm: org.apache.spark.sql.DataFrame = null
+    var sb: org.apache.spark.sql.DataFrame = null
+    timed("ingest_index_init") {
+      val (cm, cb) = Dedup.sketchSlices(corpusD, bands = 8, rowsPerBand = 4)
+      sm = cm.localCheckpoint(true)
+      sb = cb.localCheckpoint(true)
+      sm.count()
+    }
+    timed("ingest_indexed_3b") {
+      var total = 0L
+      for (k <- 0 until 3) {
+        val b = batchOf(k)
+        val (bm0, bb0) = Dedup.sketchSlices(b, bands = 8, rowsPerBand = 4)
+        val bm = bm0.localCheckpoint(true)
+        val bb = bb0.localCheckpoint(true)
+        val kept = Dedup.indexedIngestFilter(bm, bb, sm, sb, threshold = 0.8)
+          .localCheckpoint(true)
+        total += kept.count()
+        sm = sm.unionByName(bm.join(kept, Seq("doc_id"), "left_semi").localCheckpoint(true))
+        sb = sb.unionByName(bb.join(kept, Seq("doc_id"), "left_semi").localCheckpoint(true))
+      }
+      total
+    }
+
     // cast to array<float>: Spark's / promotes to double, but the
     // embedding contract (like the driver table) is float32
     val emb = spark.range(n).select(col("id").as("vec_id"),
