@@ -129,14 +129,20 @@ object AsOf {
 
     // per-(k, bkt) final right struct -> carry-in = last non-null
     // final over STRICTLY EARLIER buckets of the same key (tiny table:
-    // |keys| x nBuckets rows at most)
-    // `run` at the bucket's LAST row in window order = the bucket's
-    // last right struct; the last row is the lexicographic max of the
-    // window's own sort key (ts, is_left, r_id), nulls-smallest in
-    // both the window sort and struct comparison
-    val finals = scanned
+    // |keys| x nBuckets rows at most). The bucket's final equals the
+    // max-(ts, r_id) RIGHT row of the bucket (left rows never carry) —
+    // stated as a CONDITIONAL max_by so one partial-aggregated groupBy
+    // over the union yields BOTH the final and a summary row for every
+    // populated cell. Both halves matter: deriving finals from
+    // `scanned` re-evaluates the whole union window (plan audit round
+    // 5: column pruning defeats subplan reuse), and aggregating the
+    // right side ALONE drops left-only buckets from the carry table —
+    // with disjoint time ranges (orders years before events) every
+    // left row then missed its carry-in and the join returned empty.
+    val finals = u
       .groupBy(col("k"), col("bkt"))
-      .agg(max_by(col("run"), struct(col("ts"), col("is_left"), col("r_id"))).as("fin"))
+      .agg(max_by(when(col("is_left") === 0, struct(col("r_id"), col("r_val"))),
+        when(col("is_left") === 0, struct(col("ts"), col("r_id")))).as("fin"))
     val wCarry = Window.partitionBy(col("k")).orderBy(col("bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = finals

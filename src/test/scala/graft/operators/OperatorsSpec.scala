@@ -223,15 +223,23 @@ class OperatorsSpec extends AnyFunSuite {
     // key 5: NULL timestamps on both sides — null ts sorts first
     // (NULLS FIRST) in the plain scan; the bucketed variant must
     // reproduce that through its NULL bucket
+    // key 8: its only right row is ~14 buckets BEFORE its only left
+    // row (disjoint cells — the orders-years-before-events shape):
+    // the left row's bucket holds no right rows, so the match must
+    // arrive purely via carry-in. This is the case a right-side-only
+    // bucket summary silently drops (caught by the sf0.01 oracle in
+    // round 5 — the spec fixture's buckets all overlapped).
     val left = (Seq(
       (1L, ts(5), 201L), (1L, ts(10), 202L), (1L, ts(25), 203L),
       (1L, ts(99), 204L), (2L, ts(50), 205L),
-      (5L, null.asInstanceOf[java.sql.Timestamp], 206L)) ++ hotLeft)
+      (5L, null.asInstanceOf[java.sql.Timestamp], 206L),
+      (8L, ts(18000), 207L)) ++ hotLeft)
       .toDF("user_id", "ts", "event_id")
     val right = (Seq(
       (1L, ts(10), 101L, Some(10.5)), (1L, ts(20), 102L, Some(20.5)),
       (1L, ts(20), 103L, Some(30.5)), (1L, ts(40), 104L, Option.empty[Double]),
-      (5L, null.asInstanceOf[java.sql.Timestamp], 105L, Some(7.5))) ++ hotRight)
+      (5L, null.asInstanceOf[java.sql.Timestamp], 105L, Some(7.5)),
+      (8L, ts(3), 106L, Some(9.5))) ++ hotRight)
       .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
     def collect(df: org.apache.spark.sql.DataFrame) =
       df.select(col("left_id"), col("k"), col("asof_id"), col("asof_val"))
@@ -242,8 +250,9 @@ class OperatorsSpec extends AnyFunSuite {
       right, "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice", nBuckets = 16)
     assert(collect(bucketed) == plain,
       "bucketed asof must reproduce the per-key scan exactly (ties, null carry, null ts, hot key)")
-    assert(plain.size == 3 + 1 + 20000 - 1, s"fixture sanity: ${plain.size}")
-    assert(plain.contains((206L, 5L, 105L, Some(7.5))), s"null-ts pair must match: $plain")
+    assert(plain.size == 3 + 1 + 1 + 20000 - 1, s"fixture sanity: ${plain.size}")
+    assert(plain.contains((206L, 5L, 105L, Some(7.5))), "null-ts pair must match")
+    assert(plain.contains((207L, 8L, 106L, Some(9.5))), "disjoint-bucket pair must match via carry-in")
     // the skew mechanism itself: the big window exchange keys on
     // (k, bkt), not k alone
     val plan = bucketed.queryExecution.executedPlan.toString
