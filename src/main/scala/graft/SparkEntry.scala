@@ -43,6 +43,19 @@ object SparkEntry {
   private val bmIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.SearchIndex.Index]()
 
+  /** The approx-quantile rank-contract flag (shared by the type-level
+    * and windowed quantile oracles): used inside a grouped agg whose
+    * rows carry `n` (group size) and `value`; TRUE iff the candidate
+    * value's exact rank interval [count(<a), count(<=a)] intersects
+    * p*n ± (n/accuracy + 1) — the bound approx_percentile guarantees.
+    */
+  private def rankOk(p: Double, a: Column, acc: Int): Column = {
+    val target = lit(p) * col("n").cast("double")
+    val slack = col("n").cast("double") / lit(acc.toDouble) + lit(1.0)
+    (sum(when(col("value") < a, 1L).otherwise(0L)).cast("double") <= target + slack) &&
+      (sum(when(col("value") <= a, 1L).otherwise(0L)).cast("double") >= target - slack)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -576,17 +589,35 @@ object SparkEntry {
         .select(col("event_type"), col("n"),
           col("ap")(0).as("a50"), col("ap")(1).as("a90"), col("ap")(2).as("a99"))
       val ev = events(s, dir).select(col("event_type").as("et"), col("value"))
-      def ok(p: Double, a: Column) = {
-        val target = lit(p) * col("n").cast("double")
-        val slack = col("n").cast("double") / lit(acc.toDouble) + lit(1.0)
-        (sum(when(col("value") < a, 1L).otherwise(0L)).cast("double") <= target + slack) &&
-          (sum(when(col("value") <= a, 1L).otherwise(0L)).cast("double") >= target - slack)
-      }
       q.join(ev, col("event_type") === col("et"))
         .groupBy(col("event_type"), col("n"), col("a50"), col("a90"), col("a99"))
-        .agg(ok(0.5, col("a50")).as("p50_ok"), ok(0.9, col("a90")).as("p90_ok"),
-          ok(0.99, col("a99")).as("p99_ok"))
+        .agg(rankOk(0.5, col("a50"), acc).as("p50_ok"),
+          rankOk(0.9, col("a90"), acc).as("p90_ok"),
+          rankOk(0.99, col("a99"), acc).as("p99_ok"))
         .select(col("event_type"), col("n"), col("p50_ok"), col("p90_ok"), col("p99_ok"))
+    }),
+
+    // Streaming face of the quantile summary: per-(day-window, type)
+    // approx_percentile as a standard streaming aggregation (GK
+    // sketches are mergeable state — EventsStream.quantilesWindowedAgg;
+    // rank contract pinned against the stream in StreamingSpec). Same
+    // rank-bound oracle as ev_quantiles_approx, per window.
+    "st_quantiles" -> ((s, dir) => {
+      val acc = 1000
+      val q = graft.streaming.EventsStream.quantilesWindowedAgg(events(s, dir), acc)
+        .select(col("window_start_ms"), col("event_type"), col("n"),
+          col("ap")(0).as("a50"), col("ap")(1).as("a90"), col("ap")(2).as("a99"))
+      val ev = events(s, dir).select(
+        unix_millis(window(col("ts"), "1 day").getField("start").cast("timestamp")).as("wsm"),
+        col("event_type").as("et"), col("value"))
+      q.join(ev, col("window_start_ms") === col("wsm") && col("event_type") === col("et"))
+        .groupBy(col("window_start_ms"), col("event_type"), col("n"),
+          col("a50"), col("a90"), col("a99"))
+        .agg(rankOk(0.5, col("a50"), acc).as("p50_ok"),
+          rankOk(0.9, col("a90"), acc).as("p90_ok"),
+          rankOk(0.99, col("a99"), acc).as("p99_ok"))
+        .select(col("window_start_ms"), col("event_type"), col("n"),
+          col("p50_ok"), col("p90_ok"), col("p99_ok"))
     }),
 
     // Unigram LM quality scoring (CCNet-style): per-doc mean token
@@ -1146,6 +1177,12 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
           |FROM events GROUP BY event_type""".stripMargin,
+
+      "st_quantiles" ->
+        """SELECT CAST(epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start_ms,
+          |  event_type, count(*) AS n,
+          |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       "tp_full_curation" -> {
         val pairs = "SELECT * FROM (" +

@@ -90,6 +90,42 @@ object EventsStream {
   def jsonBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     jsonWindowedAgg(spark.read.schema(eventsSchema).parquet(dir))
 
+  // ---- streaming windowed quantile sketches -------------------------------
+
+  /** Watermarked per-(day-window, event_type) quantile summary — the
+    * streaming face of ev_quantiles_approx. approx_percentile's GK
+    * buffer is mergeable and bounded, so it runs as a standard
+    * streaming aggregation (state = one sketch per open window x
+    * type, never a value buffer). Sketch VALUES are merge-order-
+    * dependent — stream and batch twin can legitimately differ — so
+    * the property pinned in StreamingSpec is the rank CONTRACT
+    * (|rank(approx) - p*n| <= n/accuracy + 1 against the window's
+    * exact membership), the same contract the ev_quantiles_approx
+    * oracle checks; `n` is exact and pinned equal.
+    */
+  def quantilesWindowedAgg(events: DataFrame, accuracy: Int = 1000): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile(value, array(0.5D, 0.9D, 0.99D), $accuracy)").as("ap"))
+      .select(unix_millis(col("window.start").cast("timestamp")).as("window_start_ms"),
+        col("event_type"), col("n"), col("ap"))
+
+  def runQuantilesOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = quantilesWindowedAgg(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   // ---- streaming windowed per-user anomaly flags --------------------------
 
   final case class WinAnomaly(user_id: Long, window_start_ms: Long, event_id: Long,

@@ -135,6 +135,33 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed asof and windowed anomaly: big side shuffles once on its sharded key") {
+    // j5_asof_bucketed: the expensive running-last WINDOW over the
+    // union evaluates exactly ONCE (round-5 plan audit caught a
+    // double evaluation — finals derived from the scanned output
+    // re-ran the whole sort+window). The cell summary costs a second,
+    // column-pruned (ts, user_id) scan feeding a partial-aggregated
+    // groupBy — a narrow pass, never a second window sort.
+    val ap = SparkEntry.queries("j5_asof_bucketed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the union window is the one sorting on is_left (the side
+    // tiebreak); the other Window[last] is the keys x buckets carry
+    // summary — constant-size, not counted
+    assert("Window \\[last[^\\n]*is_left".r.findAllIn(ap).length == 1,
+      s"bucketed asof must run the union window exactly once:\n${ap.take(1500)}")
+    assert("events\\.parquet".r.findAllIn(ap).length <= 2,
+      s"bucketed asof re-scans the big side beyond the narrow summary pass:\n${ap.take(1500)}")
+    assert("hashpartitioning\\(k#\\d+L?, bkt#\\d+L?".r.findFirstIn(ap).isDefined,
+      s"bucketed asof must shard the window on (k, bkt):\n${ap.take(1200)}")
+    // st_anomaly: the windowed z-score twin keeps the single-exchange
+    // shape of ev_anomaly (one (user_id, window) shuffle, no join)
+    val an = SparkEntry.queries("st_anomaly")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!an.contains("Join"), s"st_anomaly must not plan a join:\n${an.take(800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(an).length == 1,
+      s"st_anomaly must shuffle exactly once:\n${an.take(1200)}")
+  }
+
   test("whole-stage codegen covers the normalization path") {
     val plan = SparkEntry.queries("t2_normalize_basic")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -316,6 +316,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream $got != twin $want")
   }
 
+  test("streaming windowed quantile sketch: exact n == twin, approx values hold the rank contract") {
+    import spark.implicits._
+    val day = java.sql.Timestamp.valueOf("2026-06-01 00:00:00").getTime
+    def ev(id: Long, dayOff: Int, offMin: Int, value: Double) =
+      (id, new java.sql.Timestamp(day + dayOff * 86400000L + offMin * 60000L),
+        1L, "click", value, """{}""")
+    // one day-window holding values 0..199, split across two files so
+    // the sketch MERGES partial state cross-batch; day-2 file pushes
+    // the watermark (complete output mode reports it too)
+    val f1 = (0 until 100).map(i => ev(i, 0, i, i.toDouble))
+    val f2 = (100 until 200).map(i => ev(i, 0, i, i.toDouble))
+    val f3 = Seq(ev(999, 2, 0, 7.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    Seq(f1, f2, f3).foreach { f =>
+      f.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    val got = EventsStream.runQuantilesOnce(spark, dir, s"quant_${System.nanoTime()}")
+      .select("window_start_ms", "n", "ap")
+      .as[(Long, Long, Seq[Double])].collect()
+      .filter(_._1 == day).toList
+    assert(got.size == 1 && got.head._2 == 200L, s"window membership: $got")
+    val ap = got.head._3
+    val vals = (0 until 200).map(_.toDouble)
+    val slack = 200.0 / 1000 + 1
+    Seq(0.5, 0.9, 0.99).zip(ap).foreach { case (p, a) =>
+      val lt = vals.count(_ < a).toDouble
+      val le = vals.count(_ <= a).toDouble
+      assert(lt <= p * 200 + slack && le >= p * 200 - slack,
+        s"p=$p: stream sketch value $a rank=[$lt,$le] breaks the contract")
+    }
+    // exact fields match the batch twin exactly (sketch values may
+    // legitimately differ by merge order — contract-only for those)
+    val twinN = EventsStream.quantilesWindowedAgg(
+        spark.read.schema(EventsStream.eventsSchema).parquet(dir))
+      .select("window_start_ms", "n").as[(Long, Long)].collect().toSet
+    assert(twinN.contains((day, 200L)), s"twin n mismatch: $twinN")
+  }
+
   test("streaming exact-dedup: first arrival across micro-batches == batch earliest-per-key twin") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
