@@ -583,12 +583,16 @@ object SparkEntry {
     // SparkEntrySpec.)
     "ev_quantiles_approx" -> ((s, dir) => {
       val acc = 1000
-      val q = events(s, dir).groupBy(col("event_type")).agg(
+      // not-null value gate on both engines: sketch and rank counts
+      // both ignore nulls, but n=count(*) would not — null-heavy data
+      // would flip the ok-flags while the oracle stated TRUE
+      val evSrc = events(s, dir).where(col("value").isNotNull)
+      val q = evSrc.groupBy(col("event_type")).agg(
         count(lit(1)).as("n"),
         expr(s"approx_percentile(value, array(0.5D, 0.9D, 0.99D), $acc)").as("ap"))
         .select(col("event_type"), col("n"),
           col("ap")(0).as("a50"), col("ap")(1).as("a90"), col("ap")(2).as("a99"))
-      val ev = events(s, dir).select(col("event_type").as("et"), col("value"))
+      val ev = evSrc.select(col("event_type").as("et"), col("value"))
       q.join(ev, col("event_type") === col("et"))
         .groupBy(col("event_type"), col("n"), col("a50"), col("a90"), col("a99"))
         .agg(rankOk(0.5, col("a50"), acc).as("p50_ok"),
@@ -604,10 +608,16 @@ object SparkEntry {
     // rank-bound oracle as ev_quantiles_approx, per window.
     "st_quantiles" -> ((s, dir) => {
       val acc = 1000
-      val q = graft.streaming.EventsStream.quantilesWindowedAgg(events(s, dir), acc)
+      // explicit not-null gate on BOTH engines (oracle SQL mirrors
+      // it): a null-ts group would survive DuckDB's GROUP BY but be
+      // dropped by this join's non-null-safe window key, and null
+      // values would inflate n without entering the rank counts —
+      // the review-pass latent-asymmetry finding
+      val evSrc = events(s, dir).where(col("ts").isNotNull && col("value").isNotNull)
+      val q = graft.streaming.EventsStream.quantilesWindowedAgg(evSrc, acc)
         .select(col("window_start_ms"), col("event_type"), col("n"),
           col("ap")(0).as("a50"), col("ap")(1).as("a90"), col("ap")(2).as("a99"))
-      val ev = events(s, dir).select(
+      val ev = evSrc.select(
         unix_millis(window(col("ts"), "1 day").getField("start").cast("timestamp")).as("wsm"),
         col("event_type").as("et"), col("value"))
       q.join(ev, col("window_start_ms") === col("wsm") && col("event_type") === col("et"))
@@ -1176,13 +1186,14 @@ object SparkEntry {
       "ev_quantiles_approx" ->
         """SELECT event_type, count(*) AS n,
           |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-          |FROM events GROUP BY event_type""".stripMargin,
+          |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin,
 
       "st_quantiles" ->
         """SELECT CAST(epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start_ms,
           |  event_type, count(*) AS n,
           |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-          |FROM events GROUP BY 1, 2""".stripMargin,
+          |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          |GROUP BY 1, 2""".stripMargin,
 
       "tp_full_curation" -> {
         val pairs = "SELECT * FROM (" +

@@ -33,15 +33,17 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Run the streaming query over a parquet directory until all
-    * available input is processed; results land in an in-memory table
-    * (deterministic: one batch of static input).
+  /** Shared harness for the complete-mode windowed aggregations: run
+    * `agg` over the parquet dir's files (one per micro-batch) until
+    * all available input is processed; results land in an in-memory
+    * table (deterministic: static input, complete output).
     */
-  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  private def runCompleteWith(spark: SparkSession, dir: String, queryName: String,
+                              agg: DataFrame => DataFrame): DataFrame = {
     val stream = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-    val q = windowedAgg(stream).writeStream
+    val q = agg(stream).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
@@ -50,6 +52,9 @@ object EventsStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runCompleteWith(spark, dir, queryName, windowedAgg)
 
   /** Batch twin of windowedAgg (the oracle). */
   def batchEquivalent(spark: SparkSession, dir: String): DataFrame =
@@ -73,19 +78,8 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_with_k"), col("sum_k"))
 
-  def runJsonOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    val q = jsonWindowedAgg(stream).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
-  }
+  def runJsonOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runCompleteWith(spark, dir, queryName, jsonWindowedAgg)
 
   def jsonBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     jsonWindowedAgg(spark.read.schema(eventsSchema).parquet(dir))
@@ -112,19 +106,8 @@ object EventsStream {
       .select(unix_millis(col("window.start").cast("timestamp")).as("window_start_ms"),
         col("event_type"), col("n"), col("ap"))
 
-  def runQuantilesOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    val q = quantilesWindowedAgg(stream).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
-  }
+  def runQuantilesOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runCompleteWith(spark, dir, queryName, quantilesWindowedAgg(_))
 
   // ---- streaming windowed per-user anomaly flags --------------------------
 

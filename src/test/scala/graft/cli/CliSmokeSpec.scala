@@ -28,4 +28,8 @@ class CliSmokeSpec extends AnyFunSuite {
   test("SketchSmoke.run exercises the dedup/ANN family at n=2000") {
     SketchSmoke.run(spark, n = 2000)
   }
+
+  test("PlanAudit.run audits a query plan without throwing") {
+    PlanAudit.run(spark, sfDir, Seq("ev_anomaly"))
+  }
 }
