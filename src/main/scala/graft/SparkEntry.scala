@@ -437,6 +437,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rank"))
     }),
 
+    // ANN over an INT8-compressed corpus (FAISS SQ8-style, 4x memory
+    // cut — at 10^12 vectors the footprint, not the math, is the
+    // constraint): asymmetric scoring against full-precision queries,
+    // quantization + score restated verbatim in the oracle (recall vs
+    // exact top-k pinned in OperatorsSpec)
+    "ann_sq8_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.sq8TopK(emb, emb.where(col("vec_id") < 8), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rank"))
+    }),
+
     // ANN: LSH-bucketed top-k with 1-bit multi-probe (scale path) —
     // the probe-set rule is cross-engine, so the approximate result is
     // oracle-checked directly; recall bounds validated in tests
@@ -1353,6 +1364,8 @@ object SparkEntry {
           "FROM q JOIN c ON vec_id <> query_id), " +
           "r AS (SELECT query_id, neighbor_id, score, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank FROM s) " +
           "SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 3"),
+
+      "ann_sq8_topk" -> Similarity.sq8TopKOracleSql(k = 3, queryPred = "vec_id < 8"),
 
       "tp_corpus_filter" ->
         (s"WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) " +

@@ -54,6 +54,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** INT8 scalar-quantized brute-force top-k (FAISS SQ8-style): each
+    * corpus vector compresses 4x to (codes in [-127,127], one scale =
+    * max|x|), queries stay full precision (asymmetric scoring). At
+    * 10^12 x 64-dim float32 vectors the raw corpus is ~256 TB; SQ8
+    * cuts the resident ANN working set to a quarter for ~1e-2 cosine
+    * error. Every step — scale, quantize (floor(x*127/scale + 0.5),
+    * identical rounding on both engines), decode-free integer-dot
+    * scoring (the scale CANCELS in cosine, so the score needs only
+    * the int codes and the query) — is exact double arithmetic
+    * restated verbatim in the DuckDB oracle, so the COMPRESSED search
+    * result is oracle-checked end to end (ann_sq8_topk), not just
+    * recall-tested.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scale = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double"))))
+    val codes = when(col("sq_scale") === 0.0,
+        transform(col("embedding"), _ => lit(0)))
+      .otherwise(transform(col("embedding"),
+        x => floor(x.cast("double") * 127.0 / col("sq_scale") + 0.5).cast("int")))
+    val codeNorm = sqrt(aggregate(col("codes"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("sq_scale", scale)
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("codes"), codeNorm.as("c_nrm"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      normCol(col("embedding")).as("q_nrm"))
+    val dotIQ = aggregate(
+      zip_with(col("codes"), col("q_emb"), (cd, qv) => cd.cast("double") * qv.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = c
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .where(col("c_nrm") > 0)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotIQ / (col("c_nrm") * col("q_nrm")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** DuckDB oracle of sq8TopK (same quantization formula verbatim). */
+  def sq8TopKOracleSql(k: Int, queryPred: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |    FROM embeddings WHERE $queryPred),
+       |cs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM cs),
+       |cd AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+       |    ELSE list_transform(e, x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS INT) AS DOUBLE)) END AS codes
+       |  FROM sc),
+       |s AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(list_inner_product(codes, qe) /
+       |      (sqrt(list_inner_product(codes, codes)) * sqrt(list_inner_product(qe, qe))), 6) AS score
+       |  FROM q JOIN cd ON vec_id <> query_id
+       |  WHERE list_inner_product(codes, codes) > 0),
+       |r AS (SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= $k""".stripMargin
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight in
     * [-1, 1] from an integer mix — equivalent to a fixed seeded
     * projection matrix. The mix is pure sub-2^63 integer arithmetic

@@ -472,6 +472,26 @@ class OperatorsSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  test("sq8 ANN: int8-compressed top-3 recovers the exact top-3 on clustered embeddings; zero vectors drop") {
+    val emb = clustered(320, 32, 8, 0.1f, 13)
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8TopK(emb, queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // int8 cosine error ~1e-2 << the cluster separation, so the
+    // compressed ranking recovers at least 2/3 of the exact top-3
+    val recall = exact.intersect(sq8).size.toDouble / exact.size
+    assert(recall >= 2.0 / 3, f"sq8 recall $recall%.2f too low: $sq8 vs $exact")
+    // a zero vector has no direction: it must quantize to all-zero
+    // codes and drop out (no division by zero, no phantom neighbors)
+    val withZero = emb.unionByName(
+      Seq((999L, Array.fill(32)(0f), 0)).toDF("vec_id", "embedding", "label"))
+    val z = Similarity.sq8TopK(withZero, queries, 3)
+      .where(col("neighbor_id") === 999L).count()
+    assert(z == 0, "zero vector must not appear as a neighbor")
+  }
+
   test("ivf ANN: high recall of brute-force top-3; probing more cells monotone") {
     val emb = clustered(320, 32, 8, 0.1f, 11)
     val queries = emb.where(col("vec_id") < 5)
