@@ -647,6 +647,38 @@ object SparkEntry {
     "ta_unigram_logprob" -> ((s, dir) =>
       Search.unigramLogProb(docs(s, dir))),
 
+    // Bigram LM scoring: order-sensitive LM quality signal (scrambled
+    // word order scores low where unigram frequency is blind) — same
+    // explode/aggregate/broadcast-join shape as the unigram face
+    "ta_bigram_logprob" -> ((s, dir) =>
+      Search.bigramLogProb(docs(s, dir))),
+
+    // PII redaction — the scrub pass curation pipelines run before
+    // training (emails / phone numbers / IPv4): deterministic
+    // synthetic contacts are planted in-plan (the fixture has no PII),
+    // then counted on the original and scrubbed by three chained
+    // regexp_replace — all codegen'd, no UDF; patterns are shared
+    // Java-regex/RE2 syntax so DuckDB restates them verbatim
+    "tp_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" from 10.0.0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(col("text")).as("t"))
+        .select(col("doc_id"),
+          (regexp_count(col("t"), lit(email)) + regexp_count(col("t"), lit(phone)) +
+            regexp_count(col("t"), lit(ip))).cast("long").as("n_redactions"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(email), lit("<EMAIL>")), lit(phone), lit("<PHONE>")), lit(ip), lit("<IP>"))
+            .as("redacted"))
+    }),
+
     // Corpus keyword search: BM25 top-k over a probe query mixing the
     // rare near-dup marker ("dup", df~5%) with common vocabulary —
     // retrieval-based curation (contamination checks, topical subset
@@ -1182,6 +1214,27 @@ object SparkEntry {
       "ta_bm25_indexed" -> Search.bm25OracleSql(BmTerms, k = 25),
 
       "ta_unigram_logprob" -> Search.unigramLogProbOracleSql,
+
+      "ta_bigram_logprob" -> Search.bigramLogProbOracleSql,
+
+      // same planted contacts, counts on the original, chained global
+      // replaces ('g' — DuckDB replaces first-only by default)
+      "tp_redact" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{4}"
+        val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        s"""WITH p AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+           |         WHEN doc_id % 11 = 0 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |              || ' from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+           |         ELSE text END AS t FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$email')) + len(regexp_extract_all(t, '$phone'))
+           |    + len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_redactions,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted
+           |FROM p""".stripMargin
+      },
 
       "ev_quantiles" ->
         """SELECT event_type, count(*) AS n,

@@ -102,6 +102,54 @@ object Search {
        |FROM tok t JOIN freq f ON t.token = f.token, tot
        |GROUP BY t.doc_id""".stripMargin
 
+  /** Bigram LM scoring — the order-sensitive sibling of
+    * `unigramLogProb`: per-doc mean ln(c(ab)/c(a·)) under the corpus's
+    * own bigram MLE (c(ab) = corpus count of the bigram, c(a·) = count
+    * of bigrams starting with a — every observed bigram has c ≥ 1, so
+    * no smoothing term is needed for the corpus's own docs). Low
+    * scores flag scrambled/unnatural word order that unigram
+    * frequency cannot see.
+    *
+    * Shape mirrors unigramLogProb: one bigram explode (zip_with over
+    * two slices — both slice arguments sit OUTSIDE the lambda, so the
+    * round-3 HOF re-evaluation trap does not apply), two token-keyed
+    * aggregations, occurrence->frequency joins that AQE broadcasts at
+    * vocabulary size, one doc-keyed mean. Exact integer counts both
+    * engines.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), Dedup.wordSeqCol(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val pairs = w.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val fab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val fa = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    pairs.join(fab, Seq("a", "b")).join(fa, Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cab").cast("double") / col("ca").cast("double"))), 6)
+          .as("avg_logprob"))
+  }
+
+  /** DuckDB oracle of bigramLogProb (parallel unnest zips the two
+    * slices positionally).
+    */
+  def bigramLogProbOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |sl AS (SELECT doc_id, w[1:len(w)-1] AS la, w[2:len(w)] AS lb FROM t WHERE len(w) >= 2),
+       |z AS (SELECT doc_id, unnest(la) AS a, unnest(lb) AS b FROM sl),
+       |fab AS (SELECT a, b, count(*) AS cab FROM z GROUP BY 1, 2),
+       |fa AS (SELECT a, count(*) AS ca FROM z GROUP BY 1)
+       |SELECT z.doc_id, count(*) AS n_bigrams,
+       |  round(avg(ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))), 6) AS avg_logprob
+       |FROM z JOIN fab USING (a, b) JOIN fa USING (a)
+       |GROUP BY z.doc_id""".stripMargin
+
   /** DuckDB oracle of bm25TopK (same constants; lists are 1-based). */
   def bm25OracleSql(terms: Seq[String], k: Int,
                     k1: Double = 1.2, b: Double = 0.75): String = {

@@ -547,6 +547,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(900))
   }
 
+  test("bigram LM: scrambled word order scores below natural order where the unigram face is blind") {
+    val nat = "the quick brown fox jumps over the lazy dog"
+    val scr = "dog the over quick lazy jumps brown the fox" // same multiset
+    val docs = ((0 until 10).map(i => (i.toLong, nat, "en")) :+ (10L, scr, "en"))
+      .toDF("doc_id", "text", "lang")
+    val bi = Search.bigramLogProb(docs)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(bi(10L) < bi(0L),
+      s"scrambled doc must score lower under the bigram LM: ${bi(10L)} vs ${bi(0L)}")
+    val uni = Search.unigramLogProb(docs)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(uni(10L) == uni(0L),
+      "control: the unigram LM cannot distinguish a permutation — that blindness is why the bigram face exists")
+  }
+
   test("persisted BM25 index: queryTopK == one-shot bm25TopK; probed terms prune partitions at the scan") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
     // varied dl and tf; "needle" rare (high idf), "spark" common with tf=2
