@@ -647,6 +647,43 @@ object SparkEntry {
     "ta_unigram_logprob" -> ((s, dir) =>
       Search.unigramLogProb(docs(s, dir))),
 
+    // HTML MAIN-CONTENT EXTRACTION (the north rule's "HTML boilerplate
+    // strip / DOM heuristics", stated as a declarative operator): each
+    // doc's text is wrapped in-plan into a full synthetic page —
+    // header/nav link chrome, the content in <article><p>, a footer —
+    // and HtmlMain recovers the content by block segmentation +
+    // text-density scoring. One narrow projection, no shuffle; same
+    // page construction + extraction restated verbatim in the oracle.
+    "ex_html_main" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></header>"),
+        lit("<nav><ul><li><a href=\"/1\">News</a></li><li><a href=\"/2\">Sports</a></li></ul></nav>"),
+        lit("<article><p>"), col("text"), lit("</p></article>"),
+        lit("<footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+        graft.operators.HtmlMain.mainContentCol(page).as("main_text"))
+    }),
+
+    // The WEB-PIPELINE capstone: page HTML in -> training doc out.
+    // Composes ex_html_main's extraction with the curation gates over
+    // the EXTRACTED text (quality floor + exact-dedup keeper) — the
+    // end-to-end chain the north rule describes, in one oracle
+    "ex_web_pipeline" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></header>"),
+        lit("<article><p>"), col("text"), lit("</p></article>"),
+        lit("<footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>"))
+      val extracted = docs(s, dir).select(col("doc_id"),
+        graft.operators.HtmlMain.mainContentCol(page).as("text"))
+      val keepers = Dedup.exactGroups(extracted).select(col("keep_id").as("doc_id"))
+      extracted
+        .select(col("doc_id"), round(TS.qualityScoreCol(col("text")), 6).as("quality"))
+        .where(col("quality") >= 0.5)
+        .join(keepers, Seq("doc_id"), "left_semi")
+    }),
+
     // Bigram LM scoring: order-sensitive LM quality signal (scrambled
     // word order scores low where unigram frequency is blind) — same
     // explode/aggregate/broadcast-join shape as the unigram face
@@ -1216,6 +1253,28 @@ object SparkEntry {
       "ta_unigram_logprob" -> Search.unigramLogProbOracleSql,
 
       "ta_bigram_logprob" -> Search.bigramLogProbOracleSql,
+
+      "ex_html_main" -> {
+        val page = "'<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></header>" +
+          "<nav><ul><li><a href=\"/1\">News</a></li><li><a href=\"/2\">Sports</a></li></ul></nav>" +
+          "<article><p>' || text || '</p></article>" +
+          "<footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>'"
+        s"SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(page)} AS main_text FROM documents"
+      },
+
+      "ex_web_pipeline" -> {
+        val page = "'<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></header>" +
+          "<article><p>' || text || '</p></article>" +
+          "<footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>'"
+        s"""WITH ext AS (SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(page)} AS t FROM documents),
+           |keepers AS (SELECT min(doc_id) AS doc_id FROM ext GROUP BY md5(t))
+           |SELECT e.doc_id, round(${TS.qualityScoreSql("e.t")}, 6) AS quality
+           |FROM ext e
+           |WHERE round(${TS.qualityScoreSql("e.t")}, 6) >= 0.5
+           |  AND e.doc_id IN (SELECT doc_id FROM keepers)""".stripMargin
+      },
 
       // same planted contacts, counts on the original, chained global
       // replaces ('g' — DuckDB replaces first-only by default)

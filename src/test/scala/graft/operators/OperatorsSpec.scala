@@ -547,6 +547,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(900))
   }
 
+  test("HTML main-content extraction: chrome and link farms drop, content survives with inline tags stripped") {
+    val html = "<html><body>" +
+      "<header><a href=\"/\">Home</a> <a>About</a> <a>Contact</a></header>" +
+      "<nav><ul><li><a>News</a></li><li><a>Sports</a></li></ul></nav>" +
+      "<article><p>The <b>quick</b> brown fox jumps over the lazy dog.</p>" +
+      "<p>Another good paragraph with enough words here.</p></article>" +
+      // a link FARM is long enough to pass the token floor — only the
+      // anchor-density rule can drop it
+      "<div><a>one two</a> <a>three four</a> <a>five six</a> <a>seven eight</a></div>" +
+      "<footer>Copyright 2026 <a>Terms</a></footer></body></html>"
+    val got = Seq((1L, html)).toDF("doc_id", "html")
+      .select(HtmlMain.mainContentCol(col("html"))).as[String].head()
+    assert(got == "The quick brown fox jumps over the lazy dog. " +
+      "Another good paragraph with enough words here.", s"extracted: '$got'")
+  }
+
   test("bigram LM: scrambled word order scores below natural order where the unigram face is blind") {
     val nat = "the quick brown fox jumps over the lazy dog"
     val scr = "dog the over quick lazy jumps brown the fox" // same multiset
