@@ -43,6 +43,30 @@ object SparkEntry {
   private val bmIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.SearchIndex.Index]()
 
+  /** Synthetic page chrome around each doc's text, SINGLE-SOURCED for
+    * the query and oracle faces of ex_html_main / ex_web_pipeline
+    * (the round-3 rule: any constant an operator and its oracle share
+    * is generated from one definition so the two cannot drift). The
+    * strings contain no single quotes, so the SQL face embeds them
+    * directly.
+    */
+  private def pagePieces(withNav: Boolean): (String, String) = {
+    val nav = if (withNav)
+      "<nav><ul><li><a href=\"/1\">News</a></li><li><a href=\"/2\">Sports</a></li></ul></nav>"
+    else ""
+    ("<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></header>" + nav + "<article><p>",
+      "</p></article><footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>")
+  }
+  private def pageCol(withNav: Boolean): Column = {
+    val (pre, post) = pagePieces(withNav)
+    concat(lit(pre), col("text"), lit(post))
+  }
+  private def pageSql(withNav: Boolean): String = {
+    val (pre, post) = pagePieces(withNav)
+    s"'$pre' || text || '$post'"
+  }
+
   /** The approx-quantile rank-contract flag (shared by the type-level
     * and windowed quantile oracles): used inside a grouped agg whose
     * rows carry `n` (group size) and `value`; TRUE iff the candidate
@@ -654,32 +678,20 @@ object SparkEntry {
     // and HtmlMain recovers the content by block segmentation +
     // text-density scoring. One narrow projection, no shuffle; same
     // page construction + extraction restated verbatim in the oracle.
-    "ex_html_main" -> ((s, dir) => {
-      val page = concat(
-        lit("<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-          "<a href=\"/c\">Contact</a></header>"),
-        lit("<nav><ul><li><a href=\"/1\">News</a></li><li><a href=\"/2\">Sports</a></li></ul></nav>"),
-        lit("<article><p>"), col("text"), lit("</p></article>"),
-        lit("<footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>"))
+    "ex_html_main" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        graft.operators.HtmlMain.mainContentCol(page).as("main_text"))
-    }),
+        graft.operators.HtmlMain.mainContentCol(pageCol(withNav = true)).as("main_text"))),
 
     // The WEB-PIPELINE capstone: page HTML in -> training doc out.
     // Composes ex_html_main's extraction with the curation gates over
     // the EXTRACTED text (quality floor + exact-dedup keeper) — the
     // end-to-end chain the north rule describes, in one oracle
     "ex_web_pipeline" -> ((s, dir) => {
-      val page = concat(
-        lit("<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-          "<a href=\"/c\">Contact</a></header>"),
-        lit("<article><p>"), col("text"), lit("</p></article>"),
-        lit("<footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>"))
       val extracted = docs(s, dir).select(col("doc_id"),
-        graft.operators.HtmlMain.mainContentCol(page).as("text"))
+        graft.operators.HtmlMain.mainContentCol(pageCol(withNav = false)).as("text"))
       val keepers = Dedup.exactGroups(extracted).select(col("keep_id").as("doc_id"))
       extracted
-        .select(col("doc_id"), round(TS.qualityScoreCol(col("text")), 6).as("quality"))
+        .select(col("doc_id"), TS.qualityScoreCol(col("text")).as("quality"))
         .where(col("quality") >= 0.5)
         .join(keepers, Seq("doc_id"), "left_semi")
     }),
@@ -695,7 +707,13 @@ object SparkEntry {
     // synthetic contacts are planted in-plan (the fixture has no PII),
     // then counted on the original and scrubbed by three chained
     // regexp_replace — all codegen'd, no UDF; patterns are shared
-    // Java-regex/RE2 syntax so DuckDB restates them verbatim
+    // Java-regex/RE2 syntax so DuckDB restates them verbatim.
+    // CONTRACT: n_redactions counts pattern MATCHES ON THE ORIGINAL,
+    // not substitutions — a string matching two classes at once (an
+    // IP embedded inside an email local part) counts twice but is
+    // consumed by the first replace; the planted fixture keeps the
+    // classes disjoint (%7 email branch wins before %11) so the two
+    // notions coincide here
     "tp_redact" -> ((s, dir) => {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "[0-9]{3}-[0-9]{4}"
@@ -1254,27 +1272,16 @@ object SparkEntry {
 
       "ta_bigram_logprob" -> Search.bigramLogProbOracleSql,
 
-      "ex_html_main" -> {
-        val page = "'<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-          "<a href=\"/c\">Contact</a></header>" +
-          "<nav><ul><li><a href=\"/1\">News</a></li><li><a href=\"/2\">Sports</a></li></ul></nav>" +
-          "<article><p>' || text || '</p></article>" +
-          "<footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>'"
-        s"SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(page)} AS main_text FROM documents"
-      },
+      "ex_html_main" ->
+        s"SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(pageSql(withNav = true))} AS main_text FROM documents",
 
-      "ex_web_pipeline" -> {
-        val page = "'<html><body><header><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-          "<a href=\"/c\">Contact</a></header>" +
-          "<article><p>' || text || '</p></article>" +
-          "<footer>Copyright 2026 <a href=\"/tos\">Terms</a></footer></body></html>'"
-        s"""WITH ext AS (SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(page)} AS t FROM documents),
+      "ex_web_pipeline" ->
+        s"""WITH ext AS (SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(pageSql(withNav = false))} AS t FROM documents),
            |keepers AS (SELECT min(doc_id) AS doc_id FROM ext GROUP BY md5(t))
-           |SELECT e.doc_id, round(${TS.qualityScoreSql("e.t")}, 6) AS quality
+           |SELECT e.doc_id, ${TS.qualityScoreSql("e.t")} AS quality
            |FROM ext e
-           |WHERE round(${TS.qualityScoreSql("e.t")}, 6) >= 0.5
-           |  AND e.doc_id IN (SELECT doc_id FROM keepers)""".stripMargin
-      },
+           |WHERE ${TS.qualityScoreSql("e.t")} >= 0.5
+           |  AND e.doc_id IN (SELECT doc_id FROM keepers)""".stripMargin,
 
       // same planted contacts, counts on the original, chained global
       // replaces ('g' — DuckDB replaces first-only by default)

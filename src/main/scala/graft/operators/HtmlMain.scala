@@ -37,34 +37,47 @@ object HtmlMain {
   /** Extracted main text: blocks with >= minTokens tokens and
     * anchors/tokens <= maxLinkDensity, tag-stripped, joined, and
     * whitespace-normalized.
+    *
+    * Each block is stripped and tokenized exactly ONCE (two staged
+    * transforms carrying a struct): interpreted HOF lambdas have no
+    * CSE, so putting the strip/split inside the keep predicate would
+    * re-run the regex ~3x per block (round-3 HOF lesson applied at
+    * authoring time, review round-5).
     */
   def mainContentCol(html: Column, minTokens: Int = 4,
                      maxLinkDensity: Double = 0.2): Column = {
-    def stripped(b: Column): Column = regexp_replace(b, InlineTagRe, " ")
-    def nTokens(b: Column): Column =
-      size(filter(split(stripped(b), "\\s+"), x => x =!= ""))
-    val blocks = split(html, BlockTagRe)
-    val kept = filter(blocks, b =>
-      nTokens(b) >= minTokens &&
-        regexp_count(b, lit(AnchorRe)).cast("double") <=
-          lit(maxLinkDensity) * nTokens(b).cast("double"))
-    trim(regexp_replace(concat_ws(" ", transform(kept, b => stripped(b))), "\\s+", " "))
+    val base = transform(split(html, BlockTagRe), b => struct(
+      regexp_replace(b, InlineTagRe, " ").as("txt"),
+      regexp_count(b, lit(AnchorRe)).as("na")))
+    val scored = transform(base, s0 => struct(
+      s0.getField("txt").as("txt"),
+      size(filter(split(s0.getField("txt"), "\\s+"), x => x =!= "")).as("nt"),
+      s0.getField("na").as("na")))
+    val kept = filter(scored, s0 =>
+      s0.getField("nt") >= minTokens &&
+        s0.getField("na").cast("double") <=
+          lit(maxLinkDensity) * s0.getField("nt").cast("double"))
+    trim(regexp_replace(
+      concat_ws(" ", transform(kept, s0 => s0.getField("txt"))), "\\s+", " "))
   }
 
-  /** DuckDB twin of mainContentCol over an HTML expression (the 'g'
-    * flags are load-bearing: DuckDB regexp_replace is first-match-only
-    * by default where Spark's replaces all).
+  /** DuckDB twin of mainContentCol — the same two staged transforms,
+    * restated verbatim (the 'g' flags are load-bearing: DuckDB
+    * regexp_replace is first-match-only by default where Spark's
+    * replaces all).
     */
   def mainContentSql(htmlExpr: String, minTokens: Int = 4,
-                     maxLinkDensity: Double = 0.2): String = {
-    def stripped(b: String) = s"regexp_replace($b, '$InlineTagRe', ' ', 'g')"
-    def nTokens(b: String) =
-      s"len(list_filter(regexp_split_to_array(${stripped(b)}, '\\s+'), x -> x <> ''))"
+                     maxLinkDensity: Double = 0.2): String =
     s"""trim(regexp_replace(array_to_string(list_transform(
-       |  list_filter(regexp_split_to_array($htmlExpr, '$BlockTagRe'),
-       |    b -> ${nTokens("b")} >= $minTokens
-       |      AND CAST(len(regexp_extract_all(b, '$AnchorRe')) AS DOUBLE)
-       |          <= $maxLinkDensity * CAST(${nTokens("b")} AS DOUBLE)),
-       |  b -> ${stripped("b")}), ' '), '\\s+', ' ', 'g'))""".stripMargin
-  }
+       |  list_filter(
+       |    list_transform(
+       |      list_transform(regexp_split_to_array($htmlExpr, '$BlockTagRe'),
+       |        b -> {'txt': regexp_replace(b, '$InlineTagRe', ' ', 'g'),
+       |              'na': len(regexp_extract_all(b, '$AnchorRe'))}),
+       |      s -> {'txt': s['txt'],
+       |            'nt': len(list_filter(regexp_split_to_array(s['txt'], '\\s+'), x -> x <> '')),
+       |            'na': s['na']}),
+       |    s -> s['nt'] >= $minTokens
+       |      AND CAST(s['na'] AS DOUBLE) <= $maxLinkDensity * CAST(s['nt'] AS DOUBLE)),
+       |  s -> s['txt']), ' '), '\\s+', ' ', 'g'))""".stripMargin
 }
