@@ -696,6 +696,40 @@ object SparkEntry {
         .join(keepers, Seq("doc_id"), "left_semi")
     }),
 
+    // Data MIXING: deterministic per-language sampling (downsample the
+    // dominant language, keep the rest at high rate) — the mixture
+    // step every pre-training corpus assembly runs. The gate is a pure
+    // integer hash of doc_id (the planeWeight idiom: sub-2^63
+    // arithmetic, restatable verbatim in SQL — no engine RNG, so the
+    // sample is reproducible and oracle-checkable), one pushed-down
+    // filter, zero shuffles.
+    "tp_mixture_sample" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        (pmod(col("doc_id") * 131071L + 17L, lit(1000003L)) % 100).as("u"),
+        when(col("lang") === "en", 50).otherwise(90).as("rate"))
+        .where(col("u") < col("rate"))
+        .select(col("doc_id"), col("lang"))),
+
+    // SEQUENCE PACKING: assign docs to fixed-token-budget training
+    // sequences — greedy start-bin assignment (a doc lands in the bin
+    // where its running-token prefix starts; combine with ta_chunking
+    // to split docs longer than the budget). Packing is sequential by
+    // nature, so the order is SHARDED (doc_id % 8) and the cumulative
+    // sum runs per shard: one bounded window exchange, never a global
+    // single-partition sort — at 10^12 docs shards are the
+    // parallelism unit, exactly how distributed packers shard.
+    "tp_pack_sequences" -> ((s, dir) => {
+      val budget = 512
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir).select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          size(Dedup.wordSeqCol(col("text"))).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
+            .cast("long").as("seq_bin"))
+    }),
+
     // Bigram LM scoring: order-sensitive LM quality signal (scrambled
     // word order scores low where unigram frequency is blind) — same
     // explode/aggregate/broadcast-join shape as the unigram face
@@ -1271,6 +1305,20 @@ object SparkEntry {
       "ta_unigram_logprob" -> Search.unigramLogProbOracleSql,
 
       "ta_bigram_logprob" -> Search.bigramLogProbOracleSql,
+
+      "tp_mixture_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE ((doc_id * 131071 + 17) % 1000003) % 100
+          |  < CASE WHEN lang = 'en' THEN 50 ELSE 90 END""".stripMargin,
+
+      "tp_pack_sequences" ->
+        """SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+          |  CAST(floor(COALESCE(sum(n_tokens) OVER w, 0) / 512) AS BIGINT) AS seq_bin
+          |FROM (SELECT doc_id,
+          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |WINDOW w AS (PARTITION BY doc_id % 8 ORDER BY doc_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
       "ex_html_main" ->
         s"SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(pageSql(withNav = true))} AS main_text FROM documents",
