@@ -716,8 +716,11 @@ object SparkEntry {
     // to split docs longer than the budget). Packing is sequential by
     // nature, so the order is SHARDED (doc_id % 8) and the cumulative
     // sum runs per shard: one bounded window exchange, never a global
-    // single-partition sort — at 10^12 docs shards are the
-    // parallelism unit, exactly how distributed packers shard.
+    // single-partition sort — shards are the parallelism unit,
+    // exactly how distributed packers shard. 8 here is the fixture
+    // constant the oracle restates; production sets the shard count
+    // to O(cluster parallelism) so each shard's sorted run fits an
+    // executor (the operator itself is shard-count-agnostic).
     "tp_pack_sequences" -> ((s, dir) => {
       val budget = 512
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
