@@ -26,7 +26,12 @@ object Verify {
         .filterNot(_ == outRoot).foreach(Files.delete)
     }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter (the driver never sets it): restrict BOTH the
+    // queries run and the oracles emitted — emitting all oracles with
+    // a filtered output dir would trip the gate's missing-output check
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -51,7 +56,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(o => selected(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
