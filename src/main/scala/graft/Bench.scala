@@ -170,7 +170,8 @@ object Bench {
         .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
         .foreach(p => force(spark.read.parquet(p)))
       // optional comma-separated filter for targeted timing runs
-      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+      // (shared contract with Verify: typos are errors, never no-ops)
+      val only = SparkEntry.onlyFilter()
       val list = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
       // drain warmup's queued task-end events BEFORE the first peak

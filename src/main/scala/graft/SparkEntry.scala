@@ -39,6 +39,24 @@ object SparkEntry {
     */
   private val BmTerms = Seq("dup", "spark", "vector", "join")
 
+  /** Dev-loop query filter shared by Bench and Verify
+    * (SPARK_GRAFT_ONLY=a,b; the driver never sets it). An empty or
+    * typo'd filter is a HARD ERROR, never a silent no-op: a gate that
+    * green-lights after verifying zero queries is exactly the
+    * vacuous-pass class the missing-output check guards against.
+    */
+  def onlyFilter(): Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").map { v =>
+      val s = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      require(s.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+      val unknown = s -- queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+      System.err.println(
+        s"[graft] SPARK_GRAFT_ONLY active: ${s.size} of ${queries.size} queries selected")
+      s
+    }
+
   /** One persisted BM25 index per input dir per JVM (ta_bm25_indexed). */
   private val bmIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.SearchIndex.Index]()
@@ -699,13 +717,16 @@ object SparkEntry {
     // Data MIXING: deterministic per-language sampling (downsample the
     // dominant language, keep the rest at high rate) — the mixture
     // step every pre-training corpus assembly runs. The gate is a pure
-    // integer hash of doc_id (the planeWeight idiom: sub-2^63
-    // arithmetic, restatable verbatim in SQL — no engine RNG, so the
-    // sample is reproducible and oracle-checkable), one pushed-down
-    // filter, zero shuffles.
+    // integer hash of doc_id (the planeWeight idiom — no engine RNG,
+    // so the sample is reproducible and oracle-checkable), one
+    // pushed-down filter, zero shuffles. The id is REDUCED mod M
+    // before the multiply and re-pmod'd after: the inner pmod bounds
+    // the product under 2^63 for ANY long id (ANSI mode would throw
+    // on overflow) and keeps the gate nonneg for negative hash-derived
+    // ids — DuckDB's signed % is twinned with the ((x%M)+M)%M form.
     "tp_mixture_sample" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
-        (pmod(col("doc_id") * 131071L + 17L, lit(1000003L)) % 100).as("u"),
+        (pmod(pmod(col("doc_id"), lit(1000003L)) * 131071L + 17L, lit(1000003L)) % 100).as("u"),
         when(col("lang") === "en", 50).otherwise(90).as("rate"))
         .where(col("u") < col("rate"))
         .select(col("doc_id"), col("lang"))),
@@ -1311,7 +1332,7 @@ object SparkEntry {
 
       "tp_mixture_sample" ->
         """SELECT doc_id, lang FROM documents
-          |WHERE ((doc_id * 131071 + 17) % 1000003) % 100
+          |WHERE (((((doc_id % 1000003) + 1000003) % 1000003) * 131071 + 17) % 1000003) % 100
           |  < CASE WHEN lang = 'en' THEN 50 ELSE 90 END""".stripMargin,
 
       "tp_pack_sequences" ->

@@ -29,7 +29,7 @@ object Verify {
     // dev-loop filter (the driver never sets it): restrict BOTH the
     // queries run and the oracles emitted — emitting all oracles with
     // a filtered output dir would trip the gate's missing-output check
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = SparkEntry.onlyFilter()
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet

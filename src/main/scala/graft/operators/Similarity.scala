@@ -67,18 +67,26 @@ object Similarity {
     * result is oracle-checked end to end (ann_sq8_topk), not just
     * recall-tested.
     */
+  /** SQ8 scale: max|x| over the vector (exposed so tests pin the
+    * SHIPPED formula, not a copy).
+    */
+  def sq8ScaleCol(emb: Column): Column =
+    aggregate(emb, lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double"))))
+
+  /** SQ8 codes in [-127, 127]: floor(x*127/scale + 0.5) — identical
+    * rounding on both engines; all-zero for a zero-scale vector.
+    */
+  def sq8CodesCol(emb: Column, scale: Column): Column =
+    when(scale === 0.0, transform(emb, _ => lit(0)))
+      .otherwise(transform(emb,
+        x => floor(x.cast("double") * 127.0 / scale + 0.5).cast("int")))
+
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scale = aggregate(col("embedding"), lit(0.0),
-      (acc, v) => greatest(acc, abs(v.cast("double"))))
-    val codes = when(col("sq_scale") === 0.0,
-        transform(col("embedding"), _ => lit(0)))
-      .otherwise(transform(col("embedding"),
-        x => floor(x.cast("double") * 127.0 / col("sq_scale") + 0.5).cast("int")))
     val codeNorm = sqrt(aggregate(col("codes"), lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
     val c = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("sq_scale", scale)
-      .withColumn("codes", codes)
+      .withColumn("sq_scale", sq8ScaleCol(col("embedding")))
+      .withColumn("codes", sq8CodesCol(col("embedding"), col("sq_scale")))
       .select(col("vec_id"), col("codes"), codeNorm.as("c_nrm"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       normCol(col("embedding")).as("q_nrm"))

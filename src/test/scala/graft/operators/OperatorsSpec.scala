@@ -483,10 +483,10 @@ class OperatorsSpec extends AnyFunSuite {
       (i.toLong, Array.fill(16)((rnd.nextFloat() * 2 - 1) * mag))
     }
     val df = rows.toDF("vec_id", "embedding")
-    val scale = aggregate(col("embedding"), lit(0.0),
-      (acc, v) => greatest(acc, abs(v.cast("double"))))
-    val codes = transform(col("embedding"),
-      x => floor(x.cast("double") * 127.0 / col("s") + 0.5).cast("int"))
+    // the SHIPPED operator columns, not a re-implementation — a drift
+    // in sq8TopK's quantization must fail this bound
+    val scale = Similarity.sq8ScaleCol(col("embedding"))
+    val codes = Similarity.sq8CodesCol(col("embedding"), col("s"))
     val maxErr = df.withColumn("s", scale)
       .where(col("s") > 0)
       .withColumn("err", aggregate(
