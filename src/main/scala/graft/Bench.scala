@@ -208,10 +208,27 @@ object Bench {
 
     // N vs 4N throughput scaling on the flagship extraction job, over a
     // synthetic corpus big enough that fixed session/stage overhead is
-    // noise relative to per-doc OCR work (same input at both levels)
+    // noise relative to per-doc OCR work (same input at both levels).
+    //
+    // SELF-ADJUDICATING (round-5 verdict #6): three of five rounds
+    // shipped a host-contended scaling number that a quiet-host judge
+    // rerun overturned. The adjudication signal was always in-band —
+    // the run's own cpu probe read <0.93 where quiet runs read
+    // ~0.95-0.96 — so the bench now applies it itself: after each
+    // attempt (scaling runs + probes) it checks the attempt's own
+    // cpu_eff; if the host was contended it retries (up to
+    // SPARK_GRAFT_SCALING_ATTEMPTS, default 3) and ships ALL attempts
+    // plus the probe-gated pick (first quiet attempt, else the one
+    // with the quietest cpu probe).
+    final case class ScalingAttempt(d8: Double, d32: Double, s8: Double, s32: Double,
+                                    eff: Double, c8: Double, c32: Double, cEff: Double,
+                                    m8: Double, m32: Double, mEff: Double,
+                                    o8: Double, o32: Double, oEff: Double)
     val scaling = if (doScaling) {
       val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "24000").toInt
       val waves = sys.env.getOrElse("SPARK_GRAFT_WAVES", "8").toInt
+      val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALING_ATTEMPTS", "3").toInt
+      val quietCpuEff = 0.93
       val levels = Seq(8, 32)
       def extractRun(s: SparkSession, nDocs: Int, parts: Int): Double = {
         // page-like docs: ~10 sentences per scanned page, so measured
@@ -222,49 +239,76 @@ object Bench {
         time(force(graft.pipeline.ExtractionJob.extract(s, docs,
           graft.pipeline.ExtractionJob.Config(numPartitions = parts)).toDF))
       }
-      // 8 task waves per core: amortizes image-heavy-doc stragglers.
-      // JIT dominates first executions (3x): warm twice in round 0
-      // (JIT state persists across sessions in one JVM). Measurement
-      // rounds INTERLEAVE the two levels — consecutive all-N8 then
-      // all-N32 runs let ambient host noise hit one level only, which
-      // is exactly the asymmetry best-of-3 cannot remove (observed
-      // single-run efficiency range 0.54-0.80 on this sandbox).
-      val best = scala.collection.mutable.Map.empty[Int, Double]
-      for (round <- 0 until 3; n <- levels) {
-        val s = session(n)
-        if (round == 0) {
-          // C2 needs ~10k+ hot-path invocations: warm with a quarter
-          // corpus twice (measured: 2 x scaleDocs/8 left ~25% JIT
-          // headroom when the query phase hadn't already warmed the
-          // OCR code, i.e. under SPARK_GRAFT_QUERIES=0)
-          extractRun(s, scaleDocs / 4, waves * n)
-          extractRun(s, scaleDocs / 4, waves * n)
+      def attempt(warm: Boolean): ScalingAttempt = {
+        // 8 task waves per core: amortizes image-heavy-doc stragglers.
+        // JIT dominates first executions (3x): warm twice in round 0 of
+        // the FIRST attempt only (JIT state persists across sessions in
+        // one JVM). Measurement rounds INTERLEAVE the two levels —
+        // consecutive all-N8 then all-N32 runs let ambient host noise
+        // hit one level only, which is exactly the asymmetry best-of-3
+        // cannot remove (observed single-run efficiency range 0.54-0.80
+        // on this sandbox).
+        val best = scala.collection.mutable.Map.empty[Int, Double]
+        for (round <- 0 until 3; n <- levels) {
+          val s = session(n)
+          if (warm && round == 0) {
+            // C2 needs ~10k+ hot-path invocations: warm with a quarter
+            // corpus twice (measured: 2 x scaleDocs/8 left ~25% JIT
+            // headroom when the query phase hadn't already warmed the
+            // OCR code, i.e. under SPARK_GRAFT_QUERIES=0)
+            extractRun(s, scaleDocs / 4, waves * n)
+            extractRun(s, scaleDocs / 4, waves * n)
+          }
+          val sec = extractRun(s, scaleDocs, waves * n)
+          best(n) = math.min(best.getOrElse(n, Double.MaxValue), sec)
+          s.stop()
         }
-        val sec = extractRun(s, scaleDocs, waves * n)
-        best(n) = math.min(best.getOrElse(n, Double.MaxValue), sec)
-        s.stop()
-      }
-      val runs = levels.map(n => (n, scaleDocs / best(n), best(n)))
-      val eff = runs(1)._2 / (4.0 * runs(0)._2)
-      // the host-ceiling decomposition, measured live in this run: the
-      // Spark ratio should sit at/above the pure-JVM OCR-pool ratio,
-      // which itself sits under the memory-path ceiling — while raw
-      // CPU scales ~linearly. That ordering is the evidence that the
-      // N->4N shortfall is the host's shared memory path, not the
-      // job's shuffle/partition structure (BASELINE.md, round 2).
-      val probes = if (doProbes) {
+        val runs = levels.map(n => (n, scaleDocs / best(n), best(n)))
+        val eff = runs(1)._2 / (4.0 * runs(0)._2)
+        // the host-ceiling decomposition, measured live NEXT TO the
+        // runs it adjudicates: the Spark ratio should sit at/above the
+        // pure-JVM OCR-pool ratio, which itself sits under the
+        // memory-path ceiling — while raw CPU scales ~linearly. That
+        // ordering is the evidence that the N->4N shortfall is the
+        // host's shared memory path, not the job's shuffle/partition
+        // structure (BASELINE.md, round 2). Probes always run here:
+        // the cpu probe IS the attempt gate.
         val (c8, c32, cEff) = probeEff(8, 32, 512)(cpuTask)
         val (m8, m32, mEff) = probeEff(8, 32, 512)(memTask)
         val (o8, o32, oEff) = probeEff(8, 32, 16384)(ocrTask)
-        f""","scaling_evidence":{"cpu_sec_n8":$c8%.3f,"cpu_sec_n32":$c32%.3f,"cpu_eff_8_32":$cEff%.4f,""" +
-          f""""mem_sec_n8":$m8%.3f,"mem_sec_n32":$m32%.3f,"mem_eff_8_32":$mEff%.4f,""" +
-          f""""ocr_pool_sec_n8":$o8%.3f,"ocr_pool_sec_n32":$o32%.3f,"ocr_pool_eff_8_32":$oEff%.4f,""" +
-          f""""spark_flagship_eff_8_32":$eff%.4f,""" +
+        ScalingAttempt(runs(0)._2, runs(1)._2, runs(0)._3, runs(1)._3, eff,
+          c8, c32, cEff, m8, m32, mEff, o8, o32, oEff)
+      }
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[ScalingAttempt]
+      var done = false
+      while (!done) {
+        attempts += attempt(warm = attempts.isEmpty)
+        val a = attempts.last
+        System.err.println(f"[bench] scaling attempt ${attempts.size}: eff=${a.eff}%.4f " +
+          f"cpu_probe=${a.cEff}%.4f (quiet >= $quietCpuEff)")
+        done = a.cEff >= quietCpuEff || attempts.size >= maxAttempts || !doProbes
+      }
+      // the pick: first attempt whose own cpu probe was quiet; if the
+      // host never went quiet, the attempt with the quietest probe
+      val chosenIdx = attempts.indexWhere(_.cEff >= quietCpuEff) match {
+        case -1 => attempts.zipWithIndex.maxBy(_._1.cEff)._2
+        case i => i
+      }
+      val a = attempts(chosenIdx)
+      val attemptsJson = attempts.map(x =>
+        f"""{"docs_per_sec_n8":${x.d8}%.3f,"docs_per_sec_n32":${x.d32}%.3f,""" +
+          f""""efficiency_n_to_4n":${x.eff}%.4f,"cpu_eff_8_32":${x.cEff}%.4f}""")
+        .mkString("[", ",", "]")
+      val probes = if (doProbes)
+        f""","scaling_evidence":{"cpu_sec_n8":${a.c8}%.3f,"cpu_sec_n32":${a.c32}%.3f,"cpu_eff_8_32":${a.cEff}%.4f,""" +
+          f""""mem_sec_n8":${a.m8}%.3f,"mem_sec_n32":${a.m32}%.3f,"mem_eff_8_32":${a.mEff}%.4f,""" +
+          f""""ocr_pool_sec_n8":${a.o8}%.3f,"ocr_pool_sec_n32":${a.o32}%.3f,"ocr_pool_eff_8_32":${a.oEff}%.4f,""" +
+          f""""spark_flagship_eff_8_32":${a.eff}%.4f,""" +
           """"note":"fixed total work per probe; eff=(t_n8/t_n32)/4; cpu=register-bound xorshift, mem=cache-line-strided writes over 512KiB sets, ocr_pool=full OCR core on a plain JVM thread pool (no Spark)"}"""
-      } else ""
+      else ""
       // the north metric (BASELINE.json): OCR'd documents/sec, surfaced
       // top-level next to the per-query seconds
-      f""","flagship_docs_per_sec":${runs(1)._2}%.3f,"scaling":{"scale_docs":$scaleDocs,"docs_per_sec_n8":${runs(0)._2}%.3f,"docs_per_sec_n32":${runs(1)._2}%.3f,"sec_n8":${runs(0)._3}%.3f,"sec_n32":${runs(1)._3}%.3f,"efficiency_n_to_4n":$eff%.4f}$probes"""
+      f""","flagship_docs_per_sec":${a.d32}%.3f,"scaling":{"scale_docs":$scaleDocs,"docs_per_sec_n8":${a.d8}%.3f,"docs_per_sec_n32":${a.d32}%.3f,"sec_n8":${a.s8}%.3f,"sec_n32":${a.s32}%.3f,"efficiency_n_to_4n":${a.eff}%.4f,"attempt_chosen":${chosenIdx + 1},"n_attempts":${attempts.size},"attempts":$attemptsJson}$probes"""
     } else ""
 
     val ok = results.collect { case (k, Right(v)) => k -> v }
@@ -278,18 +322,19 @@ object Bench {
     val failedObj = failed.map { case (k, e) => s""""$k":${jstr(e)}""" }.mkString("{", ",", "}")
     val failedList = failed.map(f => jstr(f._1)).mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    // Artifact delivery (round-4 judge finding: the single stdout line
-    // grew past the driver's tail capture and BENCH_r04.json shipped
-    // with parsed:null). The FULL report — including the per-pass and
-    // peak-task-memory maps — is written to a file; stdout carries ONE
-    // compact line (totals + per-query seconds + scaling evidence)
-    // that always fits the capture and always parses.
+    // Artifact delivery (round-4/5 judge findings: the single stdout
+    // line twice outgrew the driver's tail capture and BENCH_r0{4,5}
+    // shipped with parsed:null). The FULL report — per-query seconds,
+    // per-pass times, peak-task-memory and error maps — is written to
+    // a file; stdout carries ONE TOTALS-ONLY line (totals, failure
+    // names, flagship + scaling evidence, report pointer) that always
+    // fits the capture and always parses. No per-query map on stdout.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // one shared template; the two emissions differ ONLY in the bulky
     // maps (file) vs the report pointer (stdout) — no copy-paste drift
-    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"timing_protocol":"per-query min of 2 interleaved passes in one session","failed_queries":$failedList,"failed":$failedObj,"queries":$qs"""
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"timing_protocol":"per-query min of 2 interleaved passes in one session","failed_queries":$failedList"""
     val tail = s"""$scaling,"sf":"$sfDir"}"""
-    val fullJson = s"""{$head,"query_passes":$passesObj,"query_peak_task_mem_bytes":$peakObj$tail"""
+    val fullJson = s"""{$head,"failed":$failedObj,"queries":$qs,"query_passes":$passesObj,"query_peak_task_mem_bytes":$peakObj$tail"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }

@@ -57,9 +57,25 @@ object SparkEntry {
       s
     }
 
-  /** One persisted BM25 index per input dir per JVM (ta_bm25_indexed). */
+  /** One persisted BM25 index per input dir per JVM (ta_bm25_indexed).
+    * Keyed by input-dir PATH: the dev-only assumption (true for the
+    * driver's immutable testdata) is that a dir's data never changes
+    * within a JVM — production callers own their index lifecycle via
+    * SearchIndex directly. Each temp index dir is deleted at JVM exit
+    * so repeated runs don't accrete them (round-5 advice).
+    */
   private val bmIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.SearchIndex.Index]()
+
+  private def deleteOnExit(dir: String): String = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rec)); f.delete(); ()
+      }
+      rec(new java.io.File(dir))
+    }))
+    dir
+  }
 
   /** Synthetic page chrome around each doc's text, SINGLE-SOURCED for
     * the query and oracle faces of ex_html_main / ex_web_pipeline
@@ -811,7 +827,8 @@ object SparkEntry {
     // don't accrete temp dirs (review round-5).
     "ta_bm25_indexed" -> ((s, dir) => {
       val idx = bmIdxCache.computeIfAbsent(dir, d => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-bmidx").toString
+        val tmp = deleteOnExit(
+          java.nio.file.Files.createTempDirectory("graft-bmidx").toString)
         graft.operators.SearchIndex.build(docs(s, d), new graft.lake.ParquetLake(tmp), "bm")
       })
       graft.operators.SearchIndex.queryTopK(s, idx, BmTerms, k = 25)

@@ -22,8 +22,19 @@ object Verify {
     val outRoot = Paths.get(outDir)
     if (Files.exists(outRoot)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(outRoot).iterator().asScala.toSeq.reverse
+      // sanity guard before the recursive delete (round-5 advice): only
+      // wipe a dir that is empty or visibly a previous verify output
+      // (it wrote oracle_sql.json) — a mistyped outDir must error, not
+      // vanish.
+      val entries = { val s = Files.list(outRoot)
+        try s.iterator().asScala.toSeq finally s.close() }
+      require(entries.isEmpty || Files.exists(outRoot.resolve("oracle_sql.json")),
+        s"refusing to clean $outDir: exists but has no oracle_sql.json " +
+          "(not a previous verify output dir)")
+      val walk = Files.walk(outRoot)
+      try walk.iterator().asScala.toSeq.reverse
         .filterNot(_ == outRoot).foreach(Files.delete)
+      finally walk.close()
     }
     new java.io.File(outDir).mkdirs()
     // dev-loop filter (the driver never sets it): restrict BOTH the

@@ -26,9 +26,15 @@ object PlanAudit {
     for (q <- queries) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
-      val all = "Exchange ".r.findAllIn(plan).size
-      val bcast = "BroadcastExchange ".r.findAllIn(plan).size
-      println(s"=== $q: ${all - bcast} shuffles, $bcast broadcasts")
+      // word-anchored: bare "Exchange " would also hit ReusedExchange /
+      // BroadcastExchange lines and inflate the one number this tool
+      // exists to report accurately (round-5 advice). Reused exchanges
+      // are reported separately — they are plan-sharing wins, not new
+      // shuffles.
+      val shuffles = "(?<![A-Za-z])Exchange ".r.findAllIn(plan).size
+      val bcast = "(?<![A-Za-z])BroadcastExchange ".r.findAllIn(plan).size
+      val reused = "(?<![A-Za-z])ReusedExchange ".r.findAllIn(plan).size
+      println(s"=== $q: $shuffles shuffles, $bcast broadcasts, $reused reused")
       println(plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan "))
         .mkString("\n").take(2500))
     }
