@@ -3,7 +3,6 @@ package graft.operators
 import graft.lake.LakeFormat
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** PERSISTED IVF index — the production shape of ANN over a corpus
   * that is queried many times: build once (driver k-means on a capped
@@ -79,8 +78,8 @@ object IvfIndex {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Similarity.dotCol(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6)
           .as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // bounded per-query top-k (see Similarity.topKPerQuery): a probed
+    // cell can be corpus-sized, so no row_number window here either
+    Similarity.topKPerQuery(scored, k)
   }
 }

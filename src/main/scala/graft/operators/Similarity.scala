@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -36,6 +35,29 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
+  /** Per-query top-k over a `(query_id, neighbor_id, score)` relation
+    * with a BOUNDED partial aggregate instead of a row_number window
+    * (round-5 verdict #2: the window form shuffles EVERY scored corpus
+    * row for a query into one partition — the scale-killer for the
+    * brute faces at 10^12 vectors). TopKByScore's partial buffers cap
+    * at k, so the shuffle carries at most tasks x k rows per query and
+    * the merged candidates never touch a sort of the full scored set.
+    * Selection and order semantics are identical to
+    * `row_number() OVER (ORDER BY score DESC, neighbor_id ASC) <= k`
+    * (rank = array position + 1), pinned against the window form in
+    * OperatorsSpec.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = ColumnBridge.column(graft.functions.TopKByScore(
+      ColumnBridge.expression(col("score")),
+      ColumnBridge.expression(col("neighbor_id")), k).toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(agg.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        col("t.score").as("score"), (col("pos") + 1).as("rank"))
+  }
+
   /** Exact brute-force cosine top-k neighbors for each query vector.
     * `queries` must be small (it is broadcast).
     */
@@ -49,9 +71,7 @@ object Similarity {
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dotCol(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** INT8 scalar-quantized brute-force top-k (FAISS SQ8-style): each
@@ -98,9 +118,7 @@ object Similarity {
       .where(col("c_nrm") > 0)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dotIQ / (col("c_nrm") * col("q_nrm")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** DuckDB oracle of sq8TopK (same quantization formula verbatim). */
@@ -368,9 +386,10 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dotCol(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // a probed cell can still be corpus-sized (hot cluster): the same
+    // bounded top-k as the brute faces keeps the shuffle candidate-
+    // capped here too
+    topKPerQuery(scored, k)
   }
 
   /** All bucket-signature masks with popcount <= probeBits (the
@@ -418,9 +437,8 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dotCol(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // a hot LSH bucket can be corpus-sized: bounded top-k, not a window
+    topKPerQuery(scored, k)
   }
 
   /** DuckDB oracle of annLshTopK: the probe-set membership test is

@@ -55,10 +55,18 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("ann queries broadcast the query side") {
-    val plan = SparkEntry.queries("ann_cosine_topk")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  test("ann queries broadcast the query side and plan NO per-query window") {
+    for (q <- Seq("ann_cosine_topk", "ann_sq8_topk", "ann_lsh_topk", "ann_ivf_topk")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q does not broadcast the query side:\n${plan.take(800)}")
+      // round-5 verdict #2: the full-width row_number exchange over the
+      // scored join is the 10^12-vector scale-killer — top-k must be
+      // the k-capped partial aggregate, never a window
+      assert(!plan.contains("Window"), s"$q still plans a window:\n${plan.take(900)}")
+      assert(plan.contains("partial_topk_by_score"),
+        s"$q top-k must partial-aggregate map-side:\n${plan.take(900)}")
+    }
   }
 
   test("flagship plan: exactly ONE shuffle (the explicit salted repartition)") {
