@@ -66,13 +66,16 @@ object SketchSmoke {
 
     // persisted-sketch ingest index vs the re-sketching gate in the
     // regime the index exists for (corpus >> batch): 3 sequential
-    // accreting batches of n/100 docs against a ~n-doc corpus. The
-    // re-sketching face pays a full corpus tokenize+hash PER BATCH;
-    // the indexed face pays it once at init and then only probes.
-    // Compare `ingest_resketch_3b` against `ingest_index_init` (the
-    // one-time cost) + `ingest_indexed_3b` (the steady-state cost —
-    // the number that scales to batch k for all k).
-    val batchSize = math.max(n / 100, 10)
+    // accreting batches against a ~n-doc corpus. The re-sketching face
+    // pays a full corpus tokenize+hash PER BATCH; the indexed face
+    // pays it once at init and then only probes the persisted,
+    // partition-pruned state tables (round-5 verdict #1). Compare
+    // `ingest_resketch_3b` against `ingest_index_init` (the one-time
+    // cost) + the per-batch `ingest_indexed_b<k>` probes (the
+    // steady-state cost). Batch size is FIXED — independent of n — so
+    // runs at different n isolate STATE scaling: the probe numbers
+    // across n are the state-linearity evidence.
+    val batchSize = math.min(math.max(n / 100, 10), 500)
     val corpusD = docs.where(col("doc_id") >= 3L * batchSize)
       .select(col("doc_id"), col("text"))
     def batchOf(k: Int) = docs
@@ -87,32 +90,26 @@ object SketchSmoke {
       graft.streaming.IngestStream.ingestBatchTwin(corpusD, newDocs, batchCol,
         nBatches = 3, bands = 8, rowsPerBand = 4, threshold = 0.8).count()
     }
-    // indexed face: ingestBatchTwinIndexed's two phases, timed apart —
-    // init is the one-time cost, the probe loop is the steady state
-    // that every future batch pays (keep in lockstep with
-    // IngestIndex.ingestBatchTwinIndexed)
-    var sm: org.apache.spark.sql.DataFrame = null
-    var sb: org.apache.spark.sql.DataFrame = null
+    // indexed face: the SHIPPED persisted path (IngestIndex.gateBatch —
+    // exactly what ingestStreamIndexed runs per micro-batch), timed
+    // apart: init is the one-time cost; each per-batch probe is the
+    // steady state every future batch pays. Probe reads go through
+    // PrunedSketchState: the fat per-doc toks column is read only for
+    // candidate partners' partitions (O(candidates), ~flat in state);
+    // the two narrow postings scans prune by probe-key partitions and
+    // otherwise stay small-constant columnar reads.
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-smoke-state").toString
+    val gateOut = java.nio.file.Files.createTempDirectory("graft-smoke-gateout").toString
     timed("ingest_index_init") {
-      val (cm, cb) = Dedup.sketchSlices(corpusD, bands = 8, rowsPerBand = 4)
-      sm = cm.localCheckpoint(true)
-      sb = cb.localCheckpoint(true)
-      sm.count()
+      graft.streaming.IngestIndex.initState(corpusD, stateDir, bands = 8, rowsPerBand = 4)
+      spark.read.parquet(s"$stateDir/banded").count()
     }
-    timed("ingest_indexed_3b") {
-      var total = 0L
-      for (k <- 0 until 3) {
-        val b = batchOf(k)
-        val (bm0, bb0) = Dedup.sketchSlices(b, bands = 8, rowsPerBand = 4)
-        val bm = bm0.localCheckpoint(true)
-        val bb = bb0.localCheckpoint(true)
-        val kept = Dedup.indexedIngestFilter(bm, bb, sm, sb, threshold = 0.8)
-          .localCheckpoint(true)
-        total += kept.count()
-        sm = sm.unionByName(bm.join(kept, Seq("doc_id"), "left_semi").localCheckpoint(true))
-        sb = sb.unionByName(bb.join(kept, Seq("doc_id"), "left_semi").localCheckpoint(true))
+    for (k <- 0 until 3) {
+      timed(s"ingest_indexed_b$k") {
+        graft.streaming.IngestIndex.gateBatch(batchOf(k), k.toLong, stateDir, gateOut,
+          bands = 8, rowsPerBand = 4, threshold = 0.8)
+        spark.read.parquet(s"$gateOut/batch_id=$k").count()
       }
-      total
     }
 
     // cast to array<float>: Spark's / promotes to double, but the

