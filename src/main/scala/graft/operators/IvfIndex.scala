@@ -38,6 +38,26 @@ object IvfIndex {
       .toDF("cell", "centroid"), s"${name}_centroids")
   }
 
+  /** Incremental maintenance (round-5 verdict #4): index a batch of
+    * NEW vectors in O(batch) — one narrow assignment pass against the
+    * SAVED centroids, appended to the cell-partitioned vectors table.
+    * Centroids are FROZEN at build (standard IVF accretion: every
+    * future query and append sees the same cell geometry; re-training
+    * under drift is an offline rebuild decision), so
+    * append(batch) ≡ one-pass assignment of (corpus ∪ batch) under the
+    * build's centroids — pinned in OperatorsSpec. Appended vec_ids
+    * must be new, as with any index insert.
+    */
+  def append(spark: SparkSession, lake: LakeFormat, name: String,
+             newVectors: DataFrame): Unit = {
+    val cents = load(spark, lake, name).centroids
+    val assigned = newVectors.select(col("vec_id"), col("embedding"),
+      Similarity.normCol(col("embedding")).as("c_nrm"),
+      Similarity.ivfCellCol(col("embedding"), cents).as("cell"))
+    lake.write(assigned, s"${name}_vectors", partitionBy = Seq("cell"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   def load(spark: SparkSession, lake: LakeFormat, name: String): Index = {
     val cents = lake.read(spark, s"${name}_centroids")
       .select(col("cell"), col("centroid")).collect()

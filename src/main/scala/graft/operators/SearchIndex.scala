@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.lake.LakeFormat
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PERSISTED BM25 inverted index — the search analogue of `IvfIndex`
@@ -17,15 +17,32 @@ import org.apache.spark.sql.functions._
   * Tables (through the lake seam, Iceberg-swappable like IvfIndex):
   *  - `<name>_postings/pterm=N/`: (term, doc_id, tf, dl) — tf exact,
   *    dl carried denormalized so scoring needs no doc-length join;
-  *  - `<name>_terms/pterm=N/`:    (term, df) — document frequencies;
-  *  - `<name>_stats`:             one row (n_docs, sum_dl) — avgdl is
-  *    recomputed as exact-sum/count at query time, the same
-  *    ulp-stable form `bm25TopK` uses.
+  *  - `<name>_terms/pterm=N/`:    (term, df) PARTIALS — one row per
+  *    build/append slice; a term's df is the SUM of its rows;
+  *  - `<name>_stats`:             (n_docs, sum_dl) PARTIALS — one row
+  *    per slice; totals are sums, and avgdl is recomputed as
+  *    exact-sum/count at query time, the same ulp-stable form
+  *    `bm25TopK` uses.
+  *
+  * The df/stats tables are ADDITIVE on purpose (round-5 verdict #4):
+  * `append` ingests a new doc batch by writing the batch's postings,
+  * per-term df partials and one stats row — O(batch) work, no rebuild,
+  * no read-modify-write of corpus-sized state — and queries see the
+  * identical exact integers a full rebuild would compute, so
+  * append(batch) ≡ build(corpus ∪ batch) bit-for-bit (pinned in
+  * OperatorsSpec). Appended doc_ids must be NEW — re-appending an
+  * indexed doc double-counts it, exactly as re-inserting into any
+  * inverted index would.
   *
   * Scoring is the identical Lucene-smoothed Okapi formula over the
-  * identical exact integers, so `queryTopK` is pinned EQUAL to
-  * `bm25TopK` on the same terms in OperatorsSpec (per-doc term-score
-  * summation order may differ — the shared round(,6)/ulp caveat).
+  * identical exact integers, with per-doc term scores folded in QUERY
+  * TERM ORDER (a sorted fold over collected (term-index, score)
+  * structs — absent terms contribute exact 0.0, so the fold reproduces
+  * `bm25TopK`'s fixed-order reduce bit-for-bit). That makes one-shot,
+  * indexed, and appended faces mutually EXACT (round-5 advice: the
+  * previous groupBy-sum left the summation order to the engine); the
+  * only remaining cross-engine caveat is the shared round(,6) ln-ulp
+  * one every double oracle in this repo carries.
   */
 object SearchIndex {
 
@@ -34,35 +51,55 @@ object SearchIndex {
   private def ptermCol(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong))
 
+  /** One tokenization pass -> (doc_id, dl, term, tf, pterm). */
+  private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), Dedup.wordSeqCol(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("pterm", ptermCol(col("term"), nBuckets))
+
+  /** Per-slice df partials and the one-row stats partial, derived from
+    * a slice's postings (columnar, token-free). `nDocs` counts ALL
+    * slice docs including term-free ones (their dl is 0 and never
+    * reaches the postings, so the sum is unaffected).
+    */
+  private def writePartials(idx: Index, postings: DataFrame, nDocs: Long,
+                            mode: SaveMode): Unit = {
+    idx.lake.write(
+      postings.groupBy(col("pterm"), col("term")).agg(count(lit(1)).as("df")),
+      s"${idx.name}_terms", partitionBy = Seq("pterm"), mode = mode)
+    idx.lake.write(
+      postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(lit(nDocs).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
+      s"${idx.name}_stats", mode = mode)
+  }
+
   /** Tokenize once, write postings/terms/stats. The term-df table is
     * derived from the WRITTEN postings (columnar read-back), not a
     * second tokenization pass.
     */
   def build(docs: DataFrame, lake: LakeFormat, name: String, nBuckets: Int = 64): Index = {
-    val base = docs
-      .select(col("doc_id"), Dedup.wordSeqCol(col("text")).as("w"))
-      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
-    val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("pterm", ptermCol(col("term"), nBuckets))
-    lake.write(postings, s"${name}_postings", partitionBy = Seq("pterm"))
+    val idx = Index(lake, name, nBuckets)
+    lake.write(postingsOf(docs, nBuckets), s"${name}_postings", partitionBy = Seq("pterm"))
     val written = lake.read(docs.sparkSession, s"${name}_postings")
-    lake.write(
-      written.groupBy(col("pterm"), col("term")).agg(count(lit(1)).as("df")),
-      s"${name}_terms", partitionBy = Seq("pterm"))
-    // stats over ALL docs (including term-free ones, like bm25TopK)
-    // with NO second tokenization pass (review round-5): n_docs is a
-    // text-free count of the docs relation; sum_dl reduces the written
-    // postings' denormalized dl (one per posting-bearing doc — a
-    // token-free doc's dl is 0 and contributes nothing to the sum)
-    val nDocs = docs.count()
-    lake.write(
-      written.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(lit(nDocs).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
-      s"${name}_stats")
-    Index(lake, name, nBuckets)
+    writePartials(idx, written, docs.count(), SaveMode.Overwrite)
+    idx
+  }
+
+  /** Incremental maintenance: index a NEW doc batch in O(batch) — the
+    * batch is tokenized once (checkpointed: the same postings feed the
+    * postings append AND the df/stats partials), and every write is an
+    * APPEND of new partial rows. No existing file is read or
+    * rewritten, so accretion never means rebuild (round-5 verdict #4).
+    */
+  def append(idx: Index, newDocs: DataFrame): Unit = {
+    val postings = postingsOf(newDocs, idx.nBuckets).localCheckpoint(true)
+    idx.lake.write(postings, s"${idx.name}_postings",
+      partitionBy = Seq("pterm"), mode = SaveMode.Append)
+    writePartials(idx, postings, newDocs.count(), SaveMode.Append)
   }
 
   /** BM25 top-k against the index. The probed `pterm` values are
@@ -70,7 +107,9 @@ object SearchIndex {
     * job over the term literals — never a reimplementation that could
     * drift), and reach the postings scan as a partition IN-filter plus
     * a pushed `term IN` data filter. Everything corpus-sized flows
-    * through one partial-aggregated groupBy(doc_id) and a TakeOrdered.
+    * through one partial-aggregated groupBy(doc_id); the per-doc score
+    * folds the (few) collected term scores in query-term order (exact
+    * determinism — see the object scaladoc).
     */
   def queryTopK(spark: SparkSession, idx: Index, terms: Seq[String], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -84,20 +123,28 @@ object SearchIndex {
       idx.lake.read(spark, s"${idx.name}_$table")
         .where(col("pterm").isin(pts.map(Long.box): _*) &&
           col("term").isin(terms: _*))
+    // partials -> totals: exact integer sums, identical to a rebuild's
+    val termDf = probed("terms").groupBy(col("term")).agg(sum(col("df")).as("df"))
     val stats = idx.lake.read(spark, s"${idx.name}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val tidx = terms.zipWithIndex.map { case (t, i) => (t, i) }.toDF("term", "tidx")
     val tf = col("tf").cast("double")
     val df = col("df").cast("double")
     val idf = log(lit(1.0) + (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
     val termScore = idf * (tf * lit(k1 + 1.0)) /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
     probed("postings")
-      .join(broadcast(probed("terms").select(col("term"), col("df"))), Seq("term"))
+      .join(broadcast(termDf), Seq("term"))
+      .join(broadcast(tidx), Seq("term"))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), termScore.as("s"))
+      .select(col("doc_id"), col("tidx"), termScore.as("s"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("s")), 6).as("score"))
+      .agg(collect_list(struct(col("tidx"), col("s"))).as("ts"))
+      .select(col("doc_id"),
+        round(aggregate(array_sort(col("ts")), lit(0.0),
+          (acc, x) => acc + x.getField("s")), 6).as("score"))
       .where(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)

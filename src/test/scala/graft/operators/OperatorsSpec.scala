@@ -674,6 +674,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [pterm"), plan.take(900))
   }
 
+  test("index accretion: append(batch) == rebuild(corpus ∪ batch), BM25 and IVF") {
+    // build-once/query-many is only real if accretion is O(batch):
+    // append must land the batch WITHOUT touching existing index files
+    // and answer every query exactly as a full rebuild would (round-5
+    // verdict #4)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val all = (0 until 90).map { i =>
+      val words = (0 until (6 + i % 7)).map(j => vocab((i * 5 + j * 3) % vocab.size)) ++
+        (if (i % 7 == 0) Seq("needle") else Nil)
+      (i.toLong, words.mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val (old, batch) = (all.where(col("doc_id") < 60), all.where(col("doc_id") >= 60))
+    val terms = Seq("needle", "gamma")
+
+    val appDir = java.nio.file.Files.createTempDirectory("graft-bm25-app").toString
+    val appLake = new graft.lake.ParquetLake(appDir)
+    val idxApp = SearchIndex.build(old, appLake, "bm", nBuckets = 16)
+    // fingerprint existing index data files; append may only ADD files
+    def dataFiles() = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(appDir))
+      try w.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toMap
+      finally w.close()
+    }
+    val before = dataFiles()
+    SearchIndex.append(idxApp, batch)
+    val after = dataFiles()
+    assert(before.forall { case (p, sz) => after.get(p).contains(sz) },
+      "append rewrote or removed existing index files — accretion must be O(batch)")
+    assert(after.size > before.size, "append must add the batch's partial files")
+    val fullLake = new graft.lake.ParquetLake(
+      java.nio.file.Files.createTempDirectory("graft-bm25-full").toString)
+    val idxFull = SearchIndex.build(all, fullLake, "bm", nBuckets = 16)
+    val gotB = SearchIndex.queryTopK(spark, idxApp, terms, k = 15)
+      .as[(Long, Double)].collect().toList
+    val wantB = SearchIndex.queryTopK(spark, idxFull, terms, k = 15)
+      .as[(Long, Double)].collect().toList
+    assert(gotB == wantB, s"BM25 append diverged from rebuild:\n got=$gotB\nwant=$wantB")
+    assert(gotB.exists(_._1 >= 60), "fixture sanity: an appended doc must rank")
+    // and both must equal the one-shot face exactly (term-order fold)
+    val oneShot = Search.bm25TopK(all, terms, k = 15).as[(Long, Double)].collect().toList
+    assert(gotB == oneShot, s"appended index diverged from one-shot:\n got=$gotB\nwant=$oneShot")
+
+    // IVF: centroids FROZEN at build; append == one-pass assignment of
+    // the union under the same centroids
+    val emb = clustered(240, 16, 8, 0.05f, 31)
+    val (oldV, newV) = (emb.where(col("vec_id") < 160), emb.where(col("vec_id") >= 160))
+    val ivfLake = new graft.lake.ParquetLake(
+      java.nio.file.Files.createTempDirectory("graft-ivf-app").toString)
+    IvfIndex.save(IvfIndex.build(oldV, nCells = 8, kmeansIters = 2), ivfLake, "ann")
+    IvfIndex.append(spark, ivfLake, "ann", newV)
+    val loaded = IvfIndex.load(spark, ivfLake, "ann")
+    val ref = IvfIndex.Index(loaded.centroids,
+      emb.select(col("vec_id"), col("embedding"),
+        Similarity.normCol(col("embedding")).as("c_nrm"),
+        Similarity.ivfCellCol(col("embedding"), loaded.centroids).as("cell")))
+    val queries = emb.where(col("vec_id") < 4)
+    val gotI = IvfIndex.queryTopK(loaded, queries, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val wantI = IvfIndex.queryTopK(ref, queries, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(gotI == wantI, s"IVF append diverged from same-centroid union assignment")
+    assert(gotI.exists(_._2 >= 160), "fixture sanity: an appended vector must be retrievable")
+  }
+
   test("embed-cosine near-dup: windowed pairs == independent recompute; LSH recovers planted dups") {
     val emb = clustered(200, 16, 40, 0.05f, 13)
     val got = Similarity.embedCosinePairs(emb, idWindow = 40, threshold = 0.9)
