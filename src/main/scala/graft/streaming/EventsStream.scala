@@ -201,7 +201,18 @@ object EventsStream {
       .where(col("z") >= zThreshold)
   }
 
-  def runAnomalyOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def runAnomalyOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runAnomalyWithStateRows(spark, dir, queryName)._1
+
+  /** runAnomalyOnce plus the per-micro-batch state-store row counts
+    * (numRowsTotal from each batch's progress event) — the eviction
+    * proof (round-5 verdict #7): a closed (user, window) key's buffer
+    * must LEAVE the store at its timeout, so across a long trickle the
+    * count tracks ACTIVE windows x users and never the full history
+    * (asserted in StreamingSpec next to the dedup-TTL trickle test).
+    */
+  def runAnomalyWithStateRows(spark: SparkSession, dir: String,
+                              queryName: String): (DataFrame, Seq[Long]) = {
     import spark.implicits._
     val stream = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
@@ -215,7 +226,9 @@ object EventsStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(queryName)
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+    (spark.table(queryName), stateRows)
   }
 
   // ---- streaming exact-dedup (first arrival per key) ----------------------

