@@ -730,6 +730,48 @@ object SparkEntry {
         .join(keepers, Seq("doc_id"), "left_semi")
     }),
 
+    // CORPUS-frequency boilerplate line removal (CCNet-style): lines
+    // recurring across > 20 documents are chrome the corpus reveals
+    // (per-page heuristics cannot); heavy set found by one hash agg
+    // over per-doc-distinct lines, rebuild is a broadcast-set array
+    // filter — document text never shuffles. 20 is the fixture's
+    // absolute threshold (production: frac x corpus_size from stats).
+    "ex_boilerplate_lines" -> ((s, dir) =>
+      graft.operators.Boilerplate.stripFrequentLines(
+        docs(s, dir).select(col("doc_id"),
+          graft.operators.Boilerplate.pageCol(col("text"), col("source")).as("page")),
+        maxDocs = 20)),
+
+    // Benchmark DECONTAMINATION (GPT-3 appendix C): training docs
+    // sharing any 8-gram shingle with the eval split (doc_id%29==0,
+    // the small designated benchmark set) are flagged with their
+    // shared-shingle count. Eval shingle set broadcasts; the corpus
+    // side never shuffles before the tiny matched-rows agg.
+    "tp_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(docs(s, dir), col("doc_id") % 29 === 0, n = 8)),
+
+    // LAYOUT reading-order recovery (the north rule's "PDF/layout
+    // parse"): span boxes on a synthetic two-column page; the
+    // operator finds the gutter by the 1-D XY-cut gap argmax and
+    // re-serializes column-major/top-down. One narrow doc_id shuffle,
+    // all windows share it.
+    "ex_layout_order" -> ((s, dir) =>
+      graft.operators.LayoutOrder.readingOrder(
+        graft.operators.LayoutOrder.spanBoxes(docs(s, dir)))),
+
+    // URL canonicalization + URL-level dedup (the pre-fetch dedup of
+    // every crawl pipeline): crawl-variant URLs (host case, default
+    // port, www alias, utm params, fragment) collapse to one
+    // canonical form; meaningful query params survive. Chained
+    // anchored regexes, one hash agg on the canonical string.
+    "ex_url_canonical" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.operators.UrlCanon.canonicalCol(
+          graft.operators.UrlCanon.urlCol(col("doc_id"))).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).cast("long").as("n_variants"),
+          min(col("doc_id")).as("keep_id"))),
+
     // Data MIXING: deterministic per-language sampling (downsample the
     // dominant language, keep the rest at high rate) — the mixture
     // step every pre-training corpus assembly runs. The gate is a pure
@@ -1423,6 +1465,27 @@ object SparkEntry {
            |FROM ext e
            |WHERE ${TS.qualityScoreSql("e.t")} >= 0.5
            |  AND e.doc_id IN (SELECT doc_id FROM keepers)""".stripMargin,
+
+      "ex_boilerplate_lines" ->
+        graft.operators.Boilerplate.stripFrequentLinesOracleSql(
+          graft.operators.Boilerplate.pageSql("text", "source"), maxDocs = 20),
+
+      "tp_decontaminate" ->
+        Dedup.decontaminateOracleSql("doc_id % 29 = 0", n = 8),
+
+      "ex_layout_order" ->
+        s"""WITH ${graft.operators.LayoutOrder.spanBoxesSql},
+           |${graft.operators.LayoutOrder.readingOrderSql("spans")}
+           |SELECT doc_id,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY colno, y, x) AS read_order,
+           |  colno, tok
+           |FROM c""".stripMargin,
+
+      "ex_url_canonical" ->
+        s"""WITH u AS (SELECT doc_id, ${graft.operators.UrlCanon.urlSql("doc_id")} AS url FROM documents)
+           |SELECT ${graft.operators.UrlCanon.canonicalSql("url")} AS canonical_url,
+           |  CAST(count(*) AS BIGINT) AS n_variants, min(doc_id) AS keep_id
+           |FROM u GROUP BY 1""".stripMargin,
 
       // same planted contacts, counts on the original, chained global
       // replaces ('g' — DuckDB replaces first-only by default)

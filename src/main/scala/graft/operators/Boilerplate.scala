@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency line-level boilerplate removal — the CCNet-style
+  * filter every web-scale corpus build runs after per-page extraction:
+  * a LINE that recurs across many documents (cookie banners, nav rows,
+  * footers that survived the per-page strip because they are plain
+  * text, share buttons, per-site section headers) is chrome, not
+  * content, and is dropped from EVERY document while each document's
+  * unique lines keep their original order.
+  *
+  * This is the corpus-level complement to [[HtmlMain]]: HtmlMain drops
+  * chrome a single page's own structure reveals (tags, link density);
+  * this operator drops chrome only the CORPUS reveals (the same plain
+  * line in thousands of documents). Reference analogy: the reference
+  * engine's per-document pipeline has no corpus-frequency pass at all
+  * (single-process, /root/reference/src/smart.py processes one PDF at
+  * a time) — this is precisely the operator class that exists only on
+  * a cluster engine.
+  *
+  * Scale shape (the reason for the two-pass form):
+  *  - pass 1 finds the heavy lines with ONE hash aggregation over
+  *    (line) — per-document duplicate lines are collapsed map-side by
+  *    `array_distinct` BEFORE the explode, so the count is exact
+  *    docs-per-line with plain `count(*)` partial aggregation (never a
+  *    two-phase `countDistinct` over the corpus);
+  *  - the heavy set is SMALL by construction — lines kept only above
+  *    `maxDocs` occurrences, so there are at most total_lines/maxDocs
+  *    of them (a few thousand at web scale for any sane threshold) —
+  *    and is collected into a single broadcast row;
+  *  - pass 2 rebuilds each document with a narrow per-row array
+  *    filter against the broadcast set: NO shuffle of document text,
+  *    no re-grouping — the rebuild pipelines inside the scan stage.
+  *    (Production would hash the heavy set into a bloom/hash set; the
+  *    sorted-array `array_contains` probe is the declarative,
+  *    oracle-checkable form and the set is broadcast-tiny.)
+  *
+  * `maxDocs` is an absolute document count so the plan stays one-pass;
+  * production derives it as frac * corpus_size from table stats (CCNet
+  * uses a per-shard share). A line exceeding it is dropped wherever it
+  * appears — including documents where it was genuine content; that is
+  * the documented CCNet trade-off, identical on both faces.
+  */
+object Boilerplate {
+
+  // Fixture page chrome (single-sourced for the query and oracle
+  // faces, the round-3 shared-constant rule; no single quotes so the
+  // SQL face embeds them directly). The section line is per-source —
+  // frequent but not universal — so the filter must find BOTH the
+  // global lines and the per-group ones from counts alone.
+  val ChromeTop = "Home | About | Contact"
+  val SectionPrefix = "Section: "
+  val FooterCopyright = "Copyright 2026 Example Media"
+  val FooterNewsletter = "Subscribe to our newsletter"
+
+  /** The synthetic multi-line page: global chrome, a per-source
+    * section line, the doc's own text as the content line, two global
+    * footer lines.
+    */
+  def pageCol(text: Column, source: Column): Column =
+    concat(lit(ChromeTop + "\n" + SectionPrefix), source, lit("\n"),
+      text, lit("\n" + FooterCopyright + "\n" + FooterNewsletter))
+
+  /** DuckDB twin of [[pageCol]]. */
+  def pageSql(textExpr: String, sourceExpr: String): String =
+    s"'$ChromeTop' || chr(10) || '$SectionPrefix' || $sourceExpr || chr(10) || " +
+      s"$textExpr || chr(10) || '$FooterCopyright' || chr(10) || '$FooterNewsletter'"
+
+  /** Drop every line appearing in more than `maxDocs` documents;
+    * input `pages` must carry (doc_id, page). Returns
+    * (doc_id, clean_text) for EVERY input document — a document whose
+    * lines are all boilerplate comes back with an empty string, it
+    * does not vanish (the downstream quality gate is where empty docs
+    * die, explicitly).
+    */
+  def stripFrequentLines(pages: DataFrame, maxDocs: Long): DataFrame = {
+    val heavy = pages
+      .select(col("doc_id"), explode(array_distinct(split(col("page"), "\n"))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("nd"))
+      .where(col("nd") > maxDocs)
+    val heavySet = heavy.agg(sort_array(collect_list(col("line"))).as("hv"))
+    pages.crossJoin(broadcast(heavySet))
+      .select(col("doc_id"),
+        array_join(filter(split(col("page"), "\n"),
+          l => !array_contains(col("hv"), l)), "\n").as("clean_text"))
+  }
+
+  /** DuckDB twin of [[stripFrequentLines]] over `documents` with the
+    * page built by `pageExpr`: heavy set from per-doc-distinct line
+    * counts, rebuild by ordered anti-join re-aggregation (parallel
+    * unnest carries the line index), LEFT join back so all-boilerplate
+    * documents surface as '' exactly like the broadcast-filter face.
+    */
+  def stripFrequentLinesOracleSql(pageExpr: String, maxDocs: Long): String =
+    s"""WITH p AS (SELECT doc_id, $pageExpr AS page FROM documents),
+       |s AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p),
+       |lx AS (SELECT doc_id, unnest(ls) AS line,
+       |         unnest(generate_series(1, len(ls))) AS i FROM s),
+       |hv AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lx)
+       |       GROUP BY line HAVING count(*) > $maxDocs),
+       |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS ct
+       |      FROM lx ANTI JOIN hv USING (line) GROUP BY doc_id)
+       |SELECT p.doc_id, coalesce(k.ct, '') AS clean_text
+       |FROM p LEFT JOIN k USING (doc_id)""".stripMargin
+}

@@ -791,4 +791,95 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.keySet == want.keySet, s"got=$got want=$want")
     got.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-6) }
   }
+
+  test("boilerplate lines: corpus-frequent lines strip everywhere, unique lines keep order, all-chrome docs survive as empty") {
+    // 30 docs share a banner + footer; docs of source A also share a
+    // section line; each doc has one unique content line BETWEEN the
+    // frequent ones. Doc 99 is chrome-only.
+    val pages = ((0 until 30).map { i =>
+      val section = if (i % 2 == 0) "Section: A" else s"Topic line ${i % 7}"
+      (i.toLong, s"Banner line\n$section\nunique content $i\nFooter line")
+    } :+ (99L, "Banner line\nFooter line")).toDF("doc_id", "page")
+    val got = Boilerplate.stripFrequentLines(pages, maxDocs = 10)
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) == "unique content 0", s"doc0: '${got(0L)}'")
+    // "Topic line k" appears ~15/7 ≈ 2 times — under the threshold, kept
+    assert(got(1L) == "Topic line 1\nunique content 1", s"doc1: '${got(1L)}'")
+    assert(got(99L) == "", "all-boilerplate doc must surface as empty, not vanish")
+    assert(got.size == 31)
+    // scale shape: the rebuild side never shuffles document text — the
+    // heavy set arrives as a broadcast single-row nested-loop join and
+    // there is no sort-merge join or text re-grouping anywhere
+    val plan = Boilerplate.stripFrequentLines(pages, maxDocs = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("decontaminate: 8-gram eval overlap flags excerpts and exact dups, leaves clean docs; eval side broadcasts") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (7L, evalDoc, "en"),                                    // the eval doc (7 % 7 == 0)
+      (1L, evalDoc, "en"),                                    // exact dup of eval -> flagged
+      (2L, s"intro words then $evalDoc and a tail", "en"),    // excerpt embed -> flagged
+      (3L, "alpha beta gamma delta epsilon zeta eta unrelated suffix words", "en"), // only 7-gram shared -> clean
+      (4L, "totally different content with no overlap at all here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.decontaminate(docs, col("doc_id") % 7 === 0, n = 8)
+      .as[(Long, Long)].collect().toMap
+    // eval doc itself is excluded from the training side
+    assert(!got.contains(7L), "eval docs are not training docs")
+    assert(got(1L) == 3L, s"exact dup shares all 3 distinct 8-grams: $got")
+    assert(got(2L) == 3L, s"verbatim excerpt shares the eval doc's own 8-grams: $got")
+    assert(!got.contains(3L), "a 7-token overlap must NOT trip the 8-gram gate")
+    assert(!got.contains(4L), "clean doc flagged")
+    val plan = Dedup.decontaminate(docs, col("doc_id") % 7 === 0, n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("layout reading order: the gutter is found from coordinates alone; short docs stay single-column") {
+    // 12-token doc: true reading order IS token order by construction
+    val text = "t00 t01 t02 t03 t04 t05 t06 t07 t08 t09 t10 t11 overflow ignored"
+    val short = "s0 s1 s2 s3 s4" // 5 tokens -> x spread < 13, no cut
+    val docs = Seq((1L, text, "en"), (2L, short, "en")).toDF("doc_id", "text", "lang")
+    val got = LayoutOrder.readingOrder(LayoutOrder.spanBoxes(docs))
+      .select("doc_id", "read_order", "colno", "tok")
+      .as[(Long, Long, Int, String)].collect()
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq == (0 until 12).map(i => f"t$i%02d"),
+      s"recovered order: ${d1.map(_._4).mkString(" ")}")
+    assert(d1.map(_._3).toSeq == Seq.fill(6)(0) ++ Seq.fill(6)(1),
+      "first six tokens are column 0, next six column 1")
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.forall(_._3 == 0), s"short doc split into columns: ${d2.mkString(",")}")
+    assert(d2.sortBy(_._2).map(_._4).toSeq == short.split(" ").toSeq)
+  }
+
+  test("url canonicalization: crawl variants collapse, content-bearing params and ports survive, idempotent") {
+    val urls = Seq(
+      "https://example.com/articles/5",
+      "HTTPS://EXAMPLE.COM:443/articles/5/",
+      "https://www.example.com/articles/5?utm_source=feed&utm_campaign=x",
+      "https://example.com/articles/5?id=7&utm_medium=a#section-2",
+      "http://example.com:8080/Api/V2?id=7", // non-default port + path case PRESERVED
+      "http://example.com:80/x")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val got = urls.select(col("doc_id"), UrlCanon.canonicalCol(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) == "https://example.com/articles/5")
+    assert(got(1L) == got(0L), s"case+port variant: ${got(1L)}")
+    assert(got(2L) == got(0L), s"www+tracking variant: ${got(2L)}")
+    assert(got(3L) == "https://example.com/articles/5?id=7",
+      "the real query param must survive the utm strip")
+    assert(got(4L) == "http://example.com:8080/Api/V2?id=7",
+      "non-default port and path case are content, not chrome")
+    assert(got(5L) == "http://example.com/x")
+    // canonicalization is idempotent: a second pass changes nothing
+    val twice = urls.select(col("doc_id"),
+      UrlCanon.canonicalCol(UrlCanon.canonicalCol(col("url"))).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(twice == got, "canonical form must be a fixed point")
+  }
 }
