@@ -750,6 +750,14 @@ object SparkEntry {
     "tp_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(docs(s, dir), col("doc_id") % 29 === 0, n = 8)),
 
+    // MODEL-BASED classification as pure dataflow: multinomial Naive
+    // Bayes trained on the corpus's own (lang, token) counts and
+    // applied back in the same plan — train is one hash agg, the
+    // model broadcasts, scores round(,6) before the argmax so float
+    // sum order can never flip the winner across engines.
+    "tp_nb_classify" -> ((s, dir) =>
+      graft.operators.NaiveBayes.langClassify(docs(s, dir))),
+
     // LAYOUT reading-order recovery (the north rule's "PDF/layout
     // parse"): span boxes on a synthetic two-column page; the
     // operator finds the gutter by the 1-D XY-cut gap argmax and
@@ -758,6 +766,14 @@ object SparkEntry {
     "ex_layout_order" -> ((s, dir) =>
       graft.operators.LayoutOrder.readingOrder(
         graft.operators.LayoutOrder.spanBoxes(docs(s, dir)))),
+
+    // Domain RANKING for crawl prioritization: PageRank power
+    // iteration over the doc-derived domain link graph — ranks
+    // broadcast each step so the edge table never shuffles; one
+    // |domains|-sized partial-sum exchange per iteration.
+    "ex_domain_rank" -> ((s, dir) =>
+      graft.operators.DomainRank.pageRank(
+        graft.operators.DomainRank.linkEdges(docs(s, dir)))),
 
     // URL canonicalization + URL-level dedup (the pre-fetch dedup of
     // every crawl pipeline): crawl-variant URLs (host case, default
@@ -1473,6 +1489,9 @@ object SparkEntry {
       "tp_decontaminate" ->
         Dedup.decontaminateOracleSql("doc_id % 29 = 0", n = 8),
 
+      "tp_nb_classify" ->
+        graft.operators.NaiveBayes.langClassifyOracleSql,
+
       "ex_layout_order" ->
         s"""WITH ${graft.operators.LayoutOrder.spanBoxesSql},
            |${graft.operators.LayoutOrder.readingOrderSql("spans")}
@@ -1480,6 +1499,9 @@ object SparkEntry {
            |  row_number() OVER (PARTITION BY doc_id ORDER BY colno, y, x) AS read_order,
            |  colno, tok
            |FROM c""".stripMargin,
+
+      "ex_domain_rank" ->
+        graft.operators.DomainRank.pageRankOracleSql,
 
       "ex_url_canonical" ->
         s"""WITH u AS (SELECT doc_id, ${graft.operators.UrlCanon.urlSql("doc_id")} AS url FROM documents)

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain ranking for crawl prioritization — PageRank over the
+  * domain-level link graph, the ordering CommonCrawl-class pipelines
+  * publish (harmonic/PageRank domain ranks) and crawl schedulers
+  * consume: which domains are worth fetching/keeping at what budget.
+  * Complements [[UrlCanon]] (same web-curation tier, one step up from
+  * the URL level) and is the second ITERATIVE-dataflow operator in
+  * the repo next to Dedup's star-contraction components — power
+  * iteration instead of contraction, weighted propagation instead of
+  * min-label.
+  *
+  * Shape per iteration (the part that must survive 100x): ranks are
+  * |domains| rows — BROADCAST — so the contribution join never
+  * shuffles the edge table; partial sums combine map-side and ONE
+  * exchange of |domains|-sized partials per iteration re-keys the
+  * new rank vector. Fixed `Iters` power steps are unrolled into the
+  * plan (at sandbox scale the lineage is cheap; a production run
+  * checkpoints each iteration exactly like components' round
+  * hygiene). No dangling-mass term is needed: every node of the
+  * fixture graph has out-degree >= 1 by construction (the edge
+  * residue equations 6d+3 ≡ 0 and 12d+5 ≡ 0 (mod 50) have no
+  * solutions — gcd is even, the residue odd — so no self-loops ever
+  * form and no source loses its edges), and the operator documents
+  * that assumption rather than hiding a silent renormalization.
+  */
+object DomainRank {
+
+  val NumDomains = 50
+  val Damping = 0.85
+  val Iters = 5
+
+  /** Deterministic doc→domain link fixture: each doc links its own
+    * domain (doc_id % 50) to two others. Distinct edges, self-loops
+    * dropped (none exist — see object doc).
+    */
+  def linkEdges(docs: DataFrame): DataFrame = {
+    val d = NumDomains
+    docs.select((col("doc_id") % d).as("src"), ((col("doc_id") * 7 + 3) % d).as("dst"))
+      .union(docs.select((col("doc_id") % d).as("src"), ((col("doc_id") * 13 + 5) % d).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** `Iters` power-iteration steps from the uniform vector; returns
+    * (domain, pr) with pr rounded to 6 decimals (cross-engine float
+    * discipline — both faces round only at the very end).
+    */
+  def pageRank(edges: DataFrame): DataFrame = {
+    val odeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val w = edges.join(odeg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("odeg").cast("double")).as("w"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    for (_ <- 1 to Iters) {
+      val contrib = w.join(broadcast(ranks), col("src") === col("node"))
+        .groupBy("dst").agg(sum(col("pr") * col("w")).as("s"))
+      ranks = nodes.crossJoin(broadcast(nn))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1 - Damping) / col("n").cast("double") +
+            lit(Damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    ranks.select(col("node").as("domain"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** DuckDB twin: the same `Iters` steps unrolled as generated CTEs
+    * (every division cast to DOUBLE — DuckDB's bare `1.0` is DECIMAL
+    * and would silently change the arithmetic).
+    */
+  def pageRankOracleSql: String = {
+    val d = NumDomains
+    val steps = (1 to Iters).map { k =>
+      s"""r$k AS (SELECT nodes.node, CAST(${1 - Damping} AS DOUBLE) / nn.n
+         |    + $Damping * coalesce(s.s, 0) AS pr
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT w.dst, sum(r${k - 1}.pr * w.w) AS s
+         |             FROM w JOIN r${k - 1} ON r${k - 1}.node = w.src
+         |             GROUP BY 1) s ON s.dst = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT doc_id % $d AS src, (doc_id * 7 + 3) % $d AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id % $d, (doc_id * 13 + 5) % $d FROM documents),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |o AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+       |w AS (SELECT e.src, e.dst, CAST(1 AS DOUBLE) / o.odeg AS w FROM e JOIN o USING (src)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node AS domain, round(pr, 6) AS pr FROM r$Iters""".stripMargin
+  }
+}

@@ -857,6 +857,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d2.sortBy(_._2).map(_._4).toSeq == short.split(" ").toSeq)
   }
 
+  test("pagerank: cycle stays uniform, mass conserves, and a random graph matches driver-side power iteration") {
+    // a directed cycle is a fixed point of the power step: uniform in,
+    // uniform out, at every iteration
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val gotCyc = DomainRank.pageRank(cyc).as[(Long, Double)].collect().toMap
+    assert(gotCyc.values.forall(v => math.abs(v - 1.0 / 3) < 1e-6), s"$gotCyc")
+    // random sparse graph vs an independent in-memory power iteration
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = DomainRank.pageRank(edges.toDF("src", "dst")).as[(Long, Double)].collect().toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to DomainRank.Iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) / out(e._1)).sum).toMap
+      r = nodes.map(v => v -> ((1 - DomainRank.Damping) / nodes.size +
+        DomainRank.Damping * contrib.getOrElse(v, 0.0))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    got.foreach { case (v, pr) =>
+      assert(math.abs(pr - r(v)) < 1e-6, s"node $v: $pr vs ${r(v)}") }
+    // no dangling mass in the fixture graph -> total rank conserves
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"sum=${got.values.sum}")
+  }
+
+  test("naive bayes: separable vocab classifies perfectly; identical vocab falls back to the prior; model broadcasts") {
+    // distinct per-class vocab -> NB must recover every label
+    val sep = ((0 until 20).map(i => (i.toLong, "der hund läuft schnell weg", "de")) ++
+      (20 until 50).map(i => (i.toLong, "the dog runs quickly away", "en")))
+      .toDF("doc_id", "text", "lang")
+    val gotSep = NaiveBayes.langClassify(sep)
+      .select("doc_id", "hit").as[(Long, Int)].collect()
+    assert(gotSep.length == 50 && gotSep.forall(_._2 == 1),
+      s"misclassified: ${gotSep.filter(_._2 == 0).mkString(",")}")
+    // IDENTICAL text everywhere -> likelihoods cancel, the prior
+    // decides: every doc predicts the majority class
+    val flat = ((0 until 30).map(i => (i.toLong, "same words here", "en")) ++
+      (30 until 40).map(i => (i.toLong, "same words here", "de")))
+      .toDF("doc_id", "text", "lang")
+    val gotFlat = NaiveBayes.langClassify(flat)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect()
+    assert(gotFlat.length == 40 && gotFlat.forall(_._2 == "en"),
+      "with no evidence the argmax must be the majority prior")
+    val plan = NaiveBayes.langClassify(sep).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("url canonicalization: crawl variants collapse, content-bearing params and ports survive, idempotent") {
     val urls = Seq(
       "https://example.com/articles/5",
