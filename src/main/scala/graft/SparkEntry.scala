@@ -767,6 +767,21 @@ object SparkEntry {
       graft.operators.LayoutOrder.readingOrder(
         graft.operators.LayoutOrder.spanBoxes(docs(s, dir)))),
 
+    // RANGE JOIN: event values classified into overlapping price
+    // bands via bucket expansion — the equi-join-on-bucket spine that
+    // keeps interval containment a hash join (the naive BETWEEN
+    // predicate plans a nested loop). Bands lo=7b, hi=7b+9 overlap by
+    // 2, so boundary values match two bands (multi-match pinned).
+    "j6_range_join" -> ((s, dir) => {
+      val bands = s.range(0, 71).select(col("id").as("band"),
+        (col("id") * 7).cast("double").as("lo"),
+        (col("id") * 7 + 9).cast("double").as("hi"))
+      graft.operators.RangeJoin.rangeJoin(
+          events(s, dir).select(col("event_id"), col("value")), "value",
+          bands, "lo", "hi", bucketWidth = 10.0)
+        .select(col("event_id"), col("band"), col("value"))
+    }),
+
     // Domain RANKING for crawl prioritization: PageRank power
     // iteration over the doc-derived domain link graph — ranks
     // broadcast each step so the edge table never shuffles; one
@@ -1502,6 +1517,13 @@ object SparkEntry {
 
       "ex_domain_rank" ->
         graft.operators.DomainRank.pageRankOracleSql,
+
+      "j6_range_join" ->
+        """WITH bands AS (SELECT b AS band, CAST(b * 7 AS DOUBLE) AS lo,
+          |    CAST(b * 7 + 9 AS DOUBLE) AS hi
+          |  FROM (SELECT unnest(generate_series(0, 70)) AS b))
+          |SELECT e.event_id, bands.band, e.value
+          |FROM events e JOIN bands ON e.value >= bands.lo AND e.value <= bands.hi""".stripMargin,
 
       "ex_url_canonical" ->
         s"""WITH u AS (SELECT doc_id, ${graft.operators.UrlCanon.urlSql("doc_id")} AS url FROM documents)

@@ -857,6 +857,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d2.sortBy(_._2).map(_._4).toSeq == short.split(" ").toSeq)
   }
 
+  test("range join: bucket expansion == brute-force BETWEEN, inclusive bounds, wide intervals, no nested loop") {
+    val points = Seq((1L, 0.0), (2L, 9.0), (3L, 9.5), (4L, 35.0), (5L, 120.0),
+      (6L, 999.0), (7L, 14.0)).toDF("event_id", "value")
+    // overlapping, boundary-touching, and one W-spanning wide interval
+    val ivals = Seq((10L, 0.0, 9.0), (11L, 9.0, 14.0), (12L, 14.0, 40.0),
+      (13L, 100.0, 150.0), (14L, 0.0, 130.0)).toDF("band", "lo", "hi")
+    val df = RangeJoin.rangeJoin(points, "value", ivals, "lo", "hi", bucketWidth = 10.0)
+    val got = df.select("event_id", "band").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (e, v) <- Seq((1L, 0.0), (2L, 9.0), (3L, 9.5), (4L, 35.0), (5L, 120.0), (6L, 999.0), (7L, 14.0))
+      (b, lo, hi) <- Seq((10L, 0.0, 9.0), (11L, 9.0, 14.0), (12L, 14.0, 40.0), (13L, 100.0, 150.0), (14L, 0.0, 130.0))
+      if v >= lo && v <= hi
+    } yield (e, b)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(!got.exists(_._1 == 6L), "out-of-every-band point must drop (inner semantics)")
+    assert(got((2L, 10L)) && got((2L, 11L)), "hi and lo bounds are both inclusive")
+    assert(got((5L, 14L)), "an interval spanning many buckets still matches")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the whole point is a hash join, not a nested loop: " + plan.take(1500))
+  }
+
   test("pagerank: cycle stays uniform, mass conserves, and a random graph matches driver-side power iteration") {
     // a directed cycle is a fixed point of the power step: uniform in,
     // uniform out, at every iteration
