@@ -782,6 +782,27 @@ object SparkEntry {
         .select(col("event_id"), col("band"), col("value"))
     }),
 
+    // INTERVAL-OVERLAP JOIN: per-user click windows × error windows
+    // ([value, value+20] each) — both sides bucket-expanded, pair
+    // kept only in the first shared bucket, user_id as the extra hash
+    // key that bounds candidate volume per entity. Overlap length is
+    // pure double arithmetic, identical in both engines.
+    "j7_interval_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def side(t: String, p: String) = ev
+        .where(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(s"${p}_id"),
+          col("value").as(s"${p}_lo"),
+          (col("value") + lit(20.0)).as(s"${p}_hi"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          side("click", "a"), "a_lo", "a_hi",
+          side("error", "b"), "b_lo", "b_hi",
+          bucketWidth = 25.0, equiKeys = Seq("user_id"))
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          round(least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo")), 6).as("overlap"))
+    }),
+
     // Domain RANKING for crawl prioritization: PageRank power
     // iteration over the doc-derived domain link graph — ranks
     // broadcast each step so the edge table never shuffles; one
@@ -961,6 +982,40 @@ object SparkEntry {
     // explode is map-side, the count aggregates partially before the
     // one shuffle, and the top-k is a driver-sized TakeOrdered (no
     // global sort materialization)
+    // HEAVY HITTERS under a bounded-memory sketch: mergeable
+    // Misra-Gries (capacity 64) over a canonical hot/cold stream — 5
+    // hot keys at ~10% each drowned in unique cold keys (the testdata
+    // tables are deliberately uniform, so the regime is derived
+    // deterministically from event_id; scale-invariant at every SF).
+    // Exact groupBy(key) here shuffles one row per DISTINCT key
+    // (billions at corpus scale); the sketch's partial buffers cap at
+    // m entries per task. Counter VALUES depend on merge order, so the
+    // oracle checks the CONTRACT (the ev_quantiles_approx pattern):
+    // every key with true freq > n/m is present (inner join), its
+    // estimate undercounts (est <= exact), and the undercount is
+    // bounded (exact - est <= n/m, integer arithmetic both sides).
+    "ta_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val toks = events(s, dir).where(col("event_id").isNotNull)
+        .select(when(col("event_id") % 10 < 5,
+            concat(lit("hot_"), (col("event_id") % 10).cast("string")))
+          .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+          .as("key"))
+      val mg = ColumnBridge.column(graft.functions.MisraGries(
+        ColumnBridge.expression(col("key")), 64).toAggregateExpression())
+      val est = toks.agg(mg.as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key").as("key"), col("e.est").as("est"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(n))
+        .where(col("exact_cnt") * 64 > col("n"))
+        .join(est, Seq("key"))
+        .select(col("key"), col("exact_cnt"),
+          (col("est") <= col("exact_cnt")).as("under_ok"),
+          ((col("exact_cnt") - col("est")) * 64 <= col("n")).as("gap_ok"))
+    }),
+
     "ta_token_freq" -> ((s, dir) =>
       docs(s, dir)
         .select(explode(Dedup.tokensCol(col("text"))).as("token"))
@@ -1525,6 +1580,16 @@ object SparkEntry {
           |SELECT e.event_id, bands.band, e.value
           |FROM events e JOIN bands ON e.value >= bands.lo AND e.value <= bands.hi""".stripMargin,
 
+      "j7_interval_overlap" ->
+        """WITH a AS (SELECT user_id, event_id AS a_id, value AS a_lo,
+          |    value + 20.0 AS a_hi FROM events WHERE event_type = 'click'),
+          |  b AS (SELECT user_id, event_id AS b_id, value AS b_lo,
+          |    value + 20.0 AS b_hi FROM events WHERE event_type = 'error')
+          |SELECT a.user_id, a.a_id, b.b_id,
+          |  ROUND(LEAST(a.a_hi, b.b_hi) - GREATEST(a.a_lo, b.b_lo), 6) AS overlap
+          |FROM a JOIN b ON a.user_id = b.user_id
+          |  AND a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi""".stripMargin,
+
       "ex_url_canonical" ->
         s"""WITH u AS (SELECT doc_id, ${graft.operators.UrlCanon.urlSql("doc_id")} AS url FROM documents)
            |SELECT ${graft.operators.UrlCanon.canonicalSql("url")} AS canonical_url,
@@ -1739,6 +1804,15 @@ object SparkEntry {
           s"SELECT d.doc_id, ${TS.qualityScoreSql("d.text")} AS quality FROM documents d " +
           s"WHERE ${TS.qualityScoreSql("d.text")} >= 0.5 AND ${TS.langIdSql("d.text")} = 'en' " +
           s"AND d.doc_id IN (SELECT doc_id FROM keepers)"),
+
+      "ta_heavy_hitters" ->
+        """WITH t AS (SELECT CASE WHEN event_id % 10 < 5
+          |    THEN 'hot_' || CAST(event_id % 10 AS VARCHAR)
+          |    ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+          |  FROM events WHERE event_id IS NOT NULL),
+          |  nn AS (SELECT count(*) AS n FROM t)
+          |SELECT t.key, count(*) AS exact_cnt, TRUE AS under_ok, TRUE AS gap_ok
+          |FROM t, nn GROUP BY t.key, nn.n HAVING count(*) * 64 > nn.n""".stripMargin,
 
       "ta_token_freq" ->
         ("WITH t AS (SELECT unnest(list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '')) AS token FROM documents) " +

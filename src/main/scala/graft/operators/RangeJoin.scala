@@ -41,4 +41,39 @@ object RangeJoin {
       .where(col(v) >= col(lo) && col(v) <= col(hi))
       .drop("bkt")
   }
+
+  /** INTERVAL-OVERLAP JOIN — the two-sided sibling of [[rangeJoin]]:
+    * match interval pairs (a, b) with `a.lo <= b.hi && b.lo <= a.hi`
+    * (sessions × outage windows, ad slots × content segments, span
+    * annotations × span annotations). Same bucket-expansion spine,
+    * BOTH sides exploded; a pair whose intervals share k buckets
+    * would surface k times from the equi-join, so each candidate is
+    * kept only in the FIRST bucket both intervals cover —
+    * `floor(max(lo_a, lo_b) / W)`, which every genuinely overlapping
+    * pair covers on both sides by definition — making the dedup a
+    * cheap scalar predicate instead of a distinct-shuffle.
+    *
+    * `equiKeys` are joined as additional hash keys (the per-user /
+    * per-entity case); at 100 TB they are what keeps candidate volume
+    * linear — a keyless overlap join over skewless data is fine, but
+    * with keys the bucket explosion only meets rows of the same
+    * entity. Caller renames value columns so the two sides are
+    * disjoint apart from `equiKeys`. Inclusive touch (`a.hi == b.lo`
+    * ⇒ overlap 0) matches the SQL `<=` form verbatim.
+    */
+  def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
+                          b: DataFrame, bLo: String, bHi: String,
+                          bucketWidth: Double,
+                          equiKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def expand(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("bkt",
+        explode(sequence(floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    expand(a, aLo, aHi).join(expand(b, bLo, bHi), equiKeys :+ "bkt")
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .where(col("bkt") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("bkt")
+  }
 }

@@ -879,6 +879,66 @@ class OperatorsSpec extends AnyFunSuite {
       "the whole point is a hash join, not a nested loop: " + plan.take(1500))
   }
 
+  test("misra-gries: exact when vocab fits, contract under skew and repartitioned merges, capacity bound on all-distinct") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def mg(df: org.apache.spark.sql.DataFrame, m: Int): Map[String, Long] = {
+      val c = ColumnBridge.column(graft.functions.MisraGries(
+        ColumnBridge.expression(col("key")), m).toAggregateExpression())
+      df.agg(c.as("hh")).select(explode(col("hh")).as("e"))
+        .select(col("e.key"), col("e.est")).as[(String, Long)].collect().toMap
+    }
+    // vocab (3) < m (8): no decrements ever fire, estimates are exact
+    val small = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    assert(mg(small.toDF("key"), 8) == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // skewed stream: 2 hot keys (100 each) + 300 unique colds, n = 500.
+    // contract at m = 10: hots present, est <= true, gap <= n/(m+1)
+    val hot = (0 until 100).flatMap(i => Seq(("h1", i), ("h2", i)))
+    val cold = (0 until 300).map(i => (s"c$i", i))
+    val stream = (hot ++ cold).toDF("key", "ord")
+    for (parts <- Seq(1, 7)) { // single-buffer and forced-merge paths
+      val got = mg(stream.repartition(parts, col("ord")).select(col("key")), 10)
+      assert(got.size <= 10, s"capacity violated: ${got.size}")
+      for (h <- Seq("h1", "h2")) {
+        assert(got.contains(h), s"$h (freq 100 > n/(m+1) = ${500 / 11}) must be present [parts=$parts]")
+        assert(got(h) <= 100L && 100L - got(h) <= 500L / 11,
+          s"$h est ${got(h)} outside [${100 - 500 / 11}, 100] [parts=$parts]")
+      }
+      // any reported cold key's true count is 1 — undercount means est <= 1
+      got.foreach { case (k, v) => if (k.startsWith("c")) assert(v <= 1L) }
+    }
+    // all-distinct: summary never exceeds m entries
+    val distinct = (0 until 1000).map(i => s"k$i").toDF("key")
+    assert(mg(distinct, 16).size <= 16)
+  }
+
+  test("interval overlap join: brute-force parity, touch-inclusive, multi-bucket pairs dedup, equi-keys honored, no nested loop") {
+    // widths straddle the bucket width (8.0): zero-length, exact-touch,
+    // containment, and a wide interval spanning many buckets
+    val aRows = Seq((1L, 101L, 0.0, 5.0), (1L, 102L, 10.0, 30.0),
+      (1L, 103L, 50.0, 50.0), (2L, 104L, 0.0, 100.0), (2L, 105L, 7.0, 9.0))
+    val bRows = Seq((1L, 201L, 5.0, 7.0), (1L, 202L, 25.0, 60.0),
+      (1L, 203L, 31.0, 40.0), (2L, 204L, 98.0, 120.0), (3L, 205L, 0.0, 100.0))
+    val a = aRows.toDF("k", "a_id", "a_lo", "a_hi")
+    val b = bRows.toDF("k", "b_id", "b_lo", "b_hi")
+    val df = RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+      bucketWidth = 8.0, equiKeys = Seq("k"))
+    val got = df.select("a_id", "b_id").as[(Long, Long)].collect()
+    val want = (for {
+      (ka, ai, alo, ahi) <- aRows; (kb, bi, blo, bhi) <- bRows
+      if ka == kb && alo <= bhi && blo <= ahi
+    } yield (ai, bi)).toSet
+    assert(got.toSet == want, s"got ${got.toSet} want $want")
+    assert(got.length == got.toSet.size,
+      "a pair sharing several buckets must surface exactly once")
+    assert(want((101L, 201L)), "exact touch (a_hi == b_lo) is an overlap of 0")
+    assert(want((103L, 202L)), "zero-length interval inside a wide one matches")
+    assert(!want.exists { case (ai, bi) => bi == 205L },
+      "same-interval different-key rows must NOT pair")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "bucket expansion must plan a hash join: " + plan.take(1500))
+  }
+
   test("pagerank: cycle stays uniform, mass conserves, and a random graph matches driver-side power iteration") {
     // a directed cycle is a fixed point of the power step: uniform in,
     // uniform out, at every iteration
