@@ -834,6 +834,31 @@ object SparkEntry {
     // the product under 2^63 for ANY long id (ANSI mode would throw
     // on overflow) and keeps the gate nonneg for negative hash-derived
     // ids — DuckDB's signed % is twinned with the ((x%M)+M)%M form.
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (exponential clocks):
+    // each doc gets `w` integer hash draws and keeps the minimum;
+    // ordering docs by that min is distributed EXACTLY as successive
+    // weighted sampling (min of w uniforms orders like an Exp(w)
+    // arrival — the Efraimidis-Spirakis scheme with integer weights),
+    // so top-n by draw IS the weighted sample. All-integer hashing
+    // (the tp_mixture_sample idiom) keeps both engines bit-equal — no
+    // engine RNG, no float pow/ln. The draw is computed IN-ROW
+    // (array_min over the w sub-hashes, no explode/groupBy), so the
+    // whole query is a narrow scan + TakeOrdered: per-partition
+    // partial top-n, one tiny merge — no global sort at any scale.
+    "tp_weighted_sample" -> ((s, dir) => {
+      val P = 1000003L
+      docs(s, dir).where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          when(col("lang") === "zh", 4)
+            .when(col("lang") === "fr", 2).otherwise(1).as("w"))
+        .select(col("doc_id"), col("lang"),
+          array_min(transform(sequence(lit(1), col("w")),
+            r => (pmod(col("doc_id") * 8 + r, lit(P)) * 131071L + 17L) % P))
+            .as("draw"))
+        .orderBy(col("draw").asc, col("doc_id").asc)
+        .limit(100)
+    }),
+
     "tp_mixture_sample" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
         (pmod(pmod(col("doc_id"), lit(1000003L)) * 131071L + 17L, lit(1000003L)) % 100).as("u"),
@@ -1526,6 +1551,15 @@ object SparkEntry {
            |WINDOW w AS (PARTITION BY doc_id % 8 ORDER BY doc_id
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
       },
+
+      "tp_weighted_sample" ->
+        """WITH d AS (SELECT doc_id, lang,
+          |    CASE WHEN lang = 'zh' THEN 4 WHEN lang = 'fr' THEN 2 ELSE 1 END AS w
+          |  FROM documents WHERE doc_id IS NOT NULL)
+          |SELECT doc_id, lang,
+          |  list_min(list_transform(generate_series(1, w),
+          |    r -> ((((doc_id * 8 + r) % 1000003) + 1000003) % 1000003 * 131071 + 17) % 1000003)) AS draw
+          |FROM d ORDER BY draw, doc_id LIMIT 100""".stripMargin,
 
       "tp_mixture_sample" ->
         """SELECT doc_id, lang FROM documents

@@ -879,6 +879,36 @@ class OperatorsSpec extends AnyFunSuite {
       "the whole point is a hash join, not a nested loop: " + plan.take(1500))
   }
 
+  test("weighted sample: draw matches driver-side min-hash, heavier weights sample proportionally more, TakeOrdered plan") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("tp_weighted_sample")(spark, dir)
+    val got = df.select("doc_id", "lang", "draw").as[(Long, String, Long)].collect()
+    // driver-side recomputation of the exponential-clock draw
+    val P = 1000003L
+    def draw(id: Long, w: Int): Long =
+      (1 to w).map(r => ((id * 8 + r) % P * 131071L + 17L) % P).min
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val wOf = (l: String) => if (l == "zh") 4 else if (l == "fr") 2 else 1
+    val want = docs.map { case (id, l) => (id, l, draw(id, wOf(l))) }
+      .sortBy(t => (t._3, t._1)).take(got.length)
+    assert(got.sortBy(t => (t._3, t._1)).toSeq == want.toSeq)
+    // a doc's draw never decreases when its weight is CUT: min over a
+    // prefix of the same hash sequence >= min over the full sequence
+    docs.take(50).foreach { case (id, l) =>
+      assert(draw(id, 1) >= draw(id, wOf(l)))
+    }
+    // realized sampling rates follow weights: zh (w=4) oversampled
+    // relative to its base rate, and strictly above en (w=1)
+    val base = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val samp = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val rate = (l: String) => samp.getOrElse(l, 0).toDouble / base(l)
+    assert(rate("zh") > rate("en"), s"zh ${rate("zh")} should exceed en ${rate("en")}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-n must be TakeOrdered, not a global sort: " + plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("misra-gries: exact when vocab fits, contract under skew and repartitioned merges, capacity bound on all-distinct") {
     import org.apache.spark.sql.graft.ColumnBridge
     def mg(df: org.apache.spark.sql.DataFrame, m: Int): Map[String, Long] = {
