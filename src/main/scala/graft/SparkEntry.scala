@@ -834,6 +834,27 @@ object SparkEntry {
     // the product under 2^63 for ANY long id (ANSI mode would throw
     // on overflow) and keeps the gate nonneg for negative hash-derived
     // ids — DuckDB's signed % is twinned with the ((x%M)+M)%M form.
+    // GROUP-WISE TOP-K (best 5 docs per language by quality): the
+    // same TopKByScore partial aggregate that replaced the ANN
+    // windows — per-task buffers cap at k, the shuffle carries
+    // tasks x k rows per group instead of every group member, and no
+    // rank window ever materializes a group on one partition. Tie
+    // rule (score desc, id asc) restated as the oracle's row_number
+    // ordering.
+    "tp_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val scored = docs(s, dir).select(col("lang"), col("doc_id"),
+        TS.qualityScoreCol(col("text")).as("score"))
+      val agg = ColumnBridge.column(graft.functions.TopKByScore(
+        ColumnBridge.expression(col("score")),
+        ColumnBridge.expression(col("doc_id")), 5).toAggregateExpression())
+      scored.groupBy(col("lang")).agg(agg.as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.neighbor_id").as("doc_id"),
+          round(col("t.score"), 6).as("quality"))
+    }),
+
     // WEIGHTED SAMPLING WITHOUT REPLACEMENT (exponential clocks):
     // each doc gets `w` integer hash draws and keeps the minimum;
     // ordering docs by that min is distributed EXACTLY as successive
@@ -1551,6 +1572,14 @@ object SparkEntry {
            |WINDOW w AS (PARTITION BY doc_id % 8 ORDER BY doc_id
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
       },
+
+      "tp_topk_per_group" ->
+        s"""WITH q AS (SELECT lang, doc_id,
+           |    ${graft.text.TextStats.qualityScoreSql("text")} AS quality FROM documents),
+           |  r AS (SELECT lang, doc_id, quality, row_number() OVER (
+           |    PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rank FROM q)
+           |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  ROUND(quality, 6) AS quality FROM r WHERE rank <= 5""".stripMargin,
 
       "tp_weighted_sample" ->
         """WITH d AS (SELECT doc_id, lang,

@@ -879,6 +879,27 @@ class OperatorsSpec extends AnyFunSuite {
       "the whole point is a hash join, not a nested loop: " + plan.take(1500))
   }
 
+  test("group-wise top-k: identical to the rank-window form, aggregate plan carries no Window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("tp_topk_per_group")(spark, dir)
+    val got = df.select("lang", "rank", "doc_id", "quality")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        graft.text.TextStats.qualityScoreCol(col("text")).as("score"))
+    val want = scored.withColumn("rank", row_number().over(
+        W.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("long"), col("doc_id"),
+        round(col("score"), 6))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == want)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "partial top-k aggregate, not a rank window: " + plan.take(800))
+    assert(plan.contains("topk_by_score"), plan.take(800))
+  }
+
   test("weighted sample: draw matches driver-side min-hash, heavier weights sample proportionally more, TakeOrdered plan") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.SparkEntry.queries("tp_weighted_sample")(spark, dir)
