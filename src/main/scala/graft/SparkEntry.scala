@@ -834,6 +834,31 @@ object SparkEntry {
     // the product under 2^63 for ANY long id (ANSI mode would throw
     // on overflow) and keeps the gate nonneg for negative hash-derived
     // ids — DuckDB's signed % is twinned with the ((x%M)+M)%M form.
+    // BLOOM-PREFILTERED DIGEST ANTI-JOIN: admit docs whose content
+    // digest is not in a reject set (decontamination / resume / ingest
+    // gating). The bloom (built by Spark's distributed sketch agg over
+    // the reject side) broadcasts into the corpus scan: probe-negative
+    // rows are DEFINITELY clean (no false negatives) and skip the join
+    // entirely; only the ~fpp fraction of maybe-members reaches the
+    // exact anti-join. The final answer is EXACTLY the plain anti-join
+    // — the oracle states it as such, so a single lost true member
+    // (a bloom false negative) would hash-mismatch the gate.
+    "tp_bloom_prefilter" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("digest"))
+      val reject = d.where(col("doc_id") % 3 === 0).select(col("digest"))
+      // sized for the sf0.1 reject cardinality; production sizes from
+      // the reject set's known/sketched count (or shards by prefix)
+      val bloom = reject.stat.bloomFilter("digest", 100000L, 0.03)
+      val probe = ColumnBridge.column(graft.functions.BloomMightContain(
+        ColumnBridge.expression(col("digest")),
+        graft.functions.BloomMightContain.serialize(bloom)))
+      val definitelyClean = d.where(!probe)
+      val verified = d.where(probe)
+        .join(reject.distinct(), Seq("digest"), "left_anti")
+      definitelyClean.unionByName(verified).select(col("doc_id"))
+    }),
+
     // GROUP-WISE TOP-K (best 5 docs per language by quality): the
     // same TopKByScore partial aggregate that replaced the ANN
     // windows — per-task buffers cap at k, the shuffle carries
@@ -1572,6 +1597,10 @@ object SparkEntry {
            |WINDOW w AS (PARTITION BY doc_id % 8 ORDER BY doc_id
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
       },
+
+      "tp_bloom_prefilter" ->
+        """SELECT doc_id FROM documents WHERE md5(text) NOT IN
+          |  (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
 
       "tp_topk_per_group" ->
         s"""WITH q AS (SELECT lang, doc_id,

@@ -879,6 +879,34 @@ class OperatorsSpec extends AnyFunSuite {
       "the whole point is a hash join, not a nested loop: " + plan.take(1500))
   }
 
+  test("bloom prefilter: zero false negatives, fpp near target, end-to-end equals exact anti-join, one anti-join in plan") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val members = (0 until 2000).map(i => s"m$i")
+    val bf = members.toDF("k").stat.bloomFilter("k", 2000L, 0.03)
+    val probeOf = (c: org.apache.spark.sql.Column) => ColumnBridge.column(
+      graft.functions.BloomMightContain(ColumnBridge.expression(c),
+        graft.functions.BloomMightContain.serialize(bf)))
+    // no false negatives: every member probes true (distributed eval)
+    val fn = members.toDF("k").where(!probeOf(col("k"))).count()
+    assert(fn == 0L, s"$fn members lost — bloom false negative")
+    // false-positive rate on 10k non-members lands near the 3% target
+    val fp = (0 until 10000).map(i => s"x$i").toDF("k")
+      .where(probeOf(col("k"))).count()
+    assert(fp < 800L, s"fpp ${fp / 10000.0} wildly above the 0.03 target")
+    // end-to-end: the prefiltered pipeline IS the exact anti-join
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("tp_bloom_prefilter")(spark, dir)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    val want = d.join(d.where(col("doc_id") % 3 === 0).select(col("digest")).distinct(),
+        Seq("digest"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(df.as[Long].collect().toSet == want)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 1,
+      "exact verify must run once, on the bloom-positive branch only: " + plan.take(1200))
+  }
+
   test("group-wise top-k: identical to the rank-window form, aggregate plan carries no Window") {
     import org.apache.spark.sql.expressions.{Window => W}
     val dir = "/root/testdata/sf0.001"
