@@ -62,3 +62,47 @@ object BucketedLake {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }
+
+/** Z-order clustered writes: the multi-dimensional file-skipping face
+  * of the lake (Delta/Iceberg `OPTIMIZE ZORDER BY` equivalent; see
+  * [[graft.functions.InterleaveBits]] for why). Files are
+  * range-partitioned by the morton code of the two dimension ranks,
+  * so every file's parquet min/max footer is tight on BOTH columns —
+  * a selective predicate on either one skips most files at 100 TB,
+  * where a single-column sort leaves the second dimension's stats
+  * spanning the whole domain in every file. Rank scaling uses the
+  * dims' min/max (one tiny agg job at write time); production tables
+  * refresh the range from table stats instead.
+  */
+object ZOrderLake {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** morton key over two numeric columns, each range-scaled to a
+    * 16-bit rank; a zero-span dim degenerates to rank 0 (harmless —
+    * the other dim still orders the data)
+    */
+  def zColumn(df: DataFrame, dimX: String, dimY: String): Column = {
+    val r = df.agg(
+      min(col(dimX)).cast("double"), max(col(dimX)).cast("double"),
+      min(col(dimY)).cast("double"), max(col(dimY)).cast("double")).head()
+    def rank(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(greatest(
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * 65535.0),
+        lit(0.0)), lit(65535.0)).cast("long")
+    }
+    ColumnBridge.column(graft.functions.InterleaveBits(
+      ColumnBridge.expression(rank(dimX, r.getDouble(0), r.getDouble(1))),
+      ColumnBridge.expression(rank(dimY, r.getDouble(2), r.getDouble(3)))))
+  }
+
+  def write(df: DataFrame, path: String, dimX: String, dimY: String,
+            nFiles: Int): Unit =
+    df.withColumn("__z", zColumn(df, dimX, dimY))
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+}

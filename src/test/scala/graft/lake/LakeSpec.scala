@@ -59,6 +59,44 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order write: per-file min/max tight on BOTH dims; single-dim sort leaves dim-2 stats useless") {
+    // two independent deterministic dims over [0, 255]
+    val rows = (0 until 8192).map { i =>
+      (i.toLong, (i % 256).toLong, ((i * 7919) % 256).toLong)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val zDir = Files.createTempDirectory("graft-zorder").toString + "/t"
+    val linDir = Files.createTempDirectory("graft-linear").toString + "/t"
+    ZOrderLake.write(df, zDir, "a", "b", nFiles = 16)
+    // the single-dim baseline: range-partitioned + sorted by `a` only
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(linDir)
+
+    // the quantity file skipping runs on: each file's (min, max) width
+    // per dim, exactly what lands in the parquet footer
+    def widths(dir: String): Seq[(Double, Double)] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val s = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).head()
+          ((s.getLong(1) - s.getLong(0)).toDouble / 255.0,
+           (s.getLong(3) - s.getLong(2)).toDouble / 255.0)
+        }
+    val z = widths(zDir)
+    val lin = widths(linDir)
+    assert(z.size == 16 && lin.size == 16)
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    // z-order: both dims clustered (16 files = 2 bits per dim -> each
+    // file covers ~1/4 of each domain, boundary files a bit more)
+    assert(avg(z.map(_._1)) < 0.5, s"z-order dim-a widths ${z.map(_._1)}")
+    assert(avg(z.map(_._2)) < 0.5, s"z-order dim-b widths ${z.map(_._2)}")
+    // linear: dim a razor-tight, dim b spans ~the whole domain in
+    // every file — a filter on b can skip nothing
+    assert(avg(lin.map(_._1)) < 0.15, s"linear dim-a widths ${lin.map(_._1)}")
+    assert(avg(lin.map(_._2)) > 0.8, s"linear dim-b widths ${lin.map(_._2)}")
+  }
+
   test("round-trip preserves schema and rows") {
     val base = Files.createTempDirectory("graft-lake2").toString
     val lake = new ParquetLake(base)
