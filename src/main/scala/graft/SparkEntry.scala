@@ -1268,6 +1268,19 @@ object SparkEntry {
         .select(unix_timestamp(col("window_start")).cast("long").as("window_start_epoch"),
           col("event_type"), col("n_with_k"), col("sum_k"))),
 
+    // Stream-static enrichment twin: micro-batch broadcast join
+    // against the nation dim feeding the watermarked windowed rollup
+    // (stateless join, only the agg holds state; stream ≡ twin pinned
+    // in StreamingSpec)
+    "st_enrich" -> ((s, dir) =>
+      graft.streaming.EventsStream.enrichedBatchEquivalent(
+          s, s"$dir/events.parquet",
+          s.read.parquet(s"$dir/nation.parquet")
+            .select(col("n_nationkey").cast("long").as("n_nationkey"),
+              col("n_name")))
+        .select(unix_timestamp(col("window_start")).cast("long").as("window_start_epoch"),
+          col("n_name"), col("n"), col("total_value"))),
+
     // Streaming windowed anomaly twin: per-(user, day-window) z-score
     // flags — the custom-state stream (buffer per open window, emit at
     // event-time timeout) restated as two batch window functions
@@ -1987,6 +2000,11 @@ object SparkEntry {
           "event_type, count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k, " +
           "CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
           "FROM events GROUP BY 1, 2"),
+
+      "st_enrich" ->
+        ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', e.ts)) AS BIGINT) AS window_start_epoch, " +
+          "n.n_name, count(*) AS n, round(sum(e.value), 6) AS total_value " +
+          "FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey GROUP BY 1, 2"),
 
       "st_anomaly" ->
         """SELECT user_id, window_start_ms, event_id, value, z FROM (

@@ -109,6 +109,38 @@ object EventsStream {
   def runQuantilesOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runCompleteWith(spark, dir, queryName, quantilesWindowedAgg(_))
 
+  // ---- stream-static enrichment join --------------------------------------
+
+  /** Stream-static broadcast enrichment: each micro-batch hash-joins
+    * the event stream against a STATIC dimension table (here: nation,
+    * keyed by user_id % 25) and feeds the standard watermarked
+    * windowed aggregation. The join itself is STATELESS — Spark
+    * re-resolves the static side per micro-batch, and the broadcast
+    * hint keeps the dim on every executor so no stream row ever
+    * shuffles for the join; the only state in the query is the
+    * windowed agg's. This is the canonical "enrich events with a
+    * slowly-changing reference table" shape; at 100 TB/day the dim
+    * stays broadcast-sized while the stream scales with partitions.
+    * ONE definition runs as the stream and the batch twin.
+    */
+  def enrichedAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("n_nationkey", pmod(col("user_id"), lit(25L)))
+      .join(broadcast(dim), Seq("n_nationkey"))
+      .groupBy(window(col("ts"), "5 minutes"), col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("window.start").as("window_start"), col("n_name"),
+        col("n"), col("total_value"))
+
+  def runEnrichedOnce(spark: SparkSession, dir: String, dim: DataFrame,
+                      queryName: String): DataFrame =
+    runCompleteWith(spark, dir, queryName, enrichedAgg(_, dim))
+
+  def enrichedBatchEquivalent(spark: SparkSession, dir: String,
+                              dim: DataFrame): DataFrame =
+    enrichedAgg(spark.read.schema(eventsSchema).parquet(dir), dim)
+
   // ---- streaming windowed per-user anomaly flags --------------------------
 
   final case class WinAnomaly(user_id: Long, window_start_ms: Long, event_id: Long,

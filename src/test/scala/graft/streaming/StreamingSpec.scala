@@ -362,6 +362,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty, s"stream $got != twin $want")
   }
 
+  test("stream-static enrichment: micro-batched broadcast join == batch twin, dim rows multiply correctly") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-06-01 09:00:00").getTime
+    def ev(id: Long, user: Long, offMin: Int, value: Double) =
+      (id, new java.sql.Timestamp(base + offMin * 60000L), user, "click", value, "{}")
+    // users 0, 25, 50 share nation 0 (user % 25); 1 and 7 are distinct
+    val f1 = Seq(ev(1, 0, 0, 1.5), ev(2, 25, 1, 2.5), ev(3, 1, 2, 4.0))
+    val f2 = Seq(ev(4, 50, 3, 8.0), ev(5, 7, 12, 16.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    Seq(f1, f2).foreach { f =>
+      f.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    val dim = (0L until 25L).map(k => (k, s"NATION_$k")).toDF("n_nationkey", "n_name")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("window_start").cast("long"), col("n_name"),
+        col("n"), col("total_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+    val got = norm(EventsStream.runEnrichedOnce(spark, dir, dim, s"enrich_${System.nanoTime()}"))
+    val want = norm(EventsStream.enrichedBatchEquivalent(spark, dir, dim))
+    assert(got == want && got.nonEmpty, s"stream $got != twin $want")
+    // nation 0 collects users 0, 25, 50 (minutes 0/1/3 — one window)
+    // across BOTH micro-batches
+    assert(got.exists { case (_, name, n, tv) => name == "NATION_0" && n == 3 && tv == 12.0 })
+    assert(got.exists { case (_, name, n, tv) => name == "NATION_7" && n == 1 && tv == 16.0 })
+    // the twin's join side is a broadcast hash join, never a shuffle
+    val plan = EventsStream.enrichedBatchEquivalent(spark, dir, dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("streaming windowed anomaly: custom-state stream == batch twin for watermark-closed windows") {
     import spark.implicits._
     val day = java.sql.Timestamp.valueOf("2026-05-01 00:00:00").getTime
