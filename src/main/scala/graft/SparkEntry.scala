@@ -1053,6 +1053,27 @@ object SparkEntry {
     // explode is map-side, the count aggregates partially before the
     // one shuffle, and the top-k is a driver-sized TakeOrdered (no
     // global sort materialization)
+    // APPROX DISTINCT under a mergeable sketch: per-type
+    // approx_count_distinct(user_id) (HyperLogLog++, rsd 0.05) against
+    // the exact distinct count computed in-plan. The sketch is
+    // register-max mergeable, so its value is PARTITION-ORDER
+    // INDEPENDENT — deterministic for fixed data — but engine-specific
+    // (DuckDB's HLL differs), so the oracle checks the CONTRACT: exact
+    // n (deterministic both engines) + a bounded-relative-error flag.
+    // HLL's 5% rsd is a standard deviation, not a hard bound; the 20%
+    // gate is ~4 sigma — validated on the fixture, documented as
+    // probabilistic (unlike the MG/GK hard guarantees).
+    "ev_approx_distinct" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .where(col("event_type").isNotNull && col("user_id").isNotNull)
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("n_est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_est") - col("n_exact")) * 5 <= col("n_exact"))
+            .as("within_20pct"))
+    }),
+
     // HEAVY HITTERS under a bounded-memory sketch: mergeable
     // Misra-Gries (capacity 64) over a canonical hot/cold stream — 5
     // hot keys at ~10% each drowned in unique cold keys (the testdata
@@ -1909,6 +1930,13 @@ object SparkEntry {
           s"SELECT d.doc_id, ${TS.qualityScoreSql("d.text")} AS quality FROM documents d " +
           s"WHERE ${TS.qualityScoreSql("d.text")} >= 0.5 AND ${TS.langIdSql("d.text")} = 'en' " +
           s"AND d.doc_id IN (SELECT doc_id FROM keepers)"),
+
+      "ev_approx_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+          |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 5
+          |    <= count(DISTINCT user_id) AS within_20pct
+          |FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          |GROUP BY 1""".stripMargin,
 
       "ta_heavy_hitters" ->
         """WITH t AS (SELECT CASE WHEN event_id % 10 < 5

@@ -879,6 +879,17 @@ class OperatorsSpec extends AnyFunSuite {
       "the whole point is a hash join, not a nested loop: " + plan.take(1500))
   }
 
+  test("approx distinct: HLL estimate is partition-order independent and inside the error contract") {
+    val df = (0 until 50000).map(i => (i % 1234).toLong).toDF("k")
+    def est(parts: Int): Long =
+      df.repartition(parts, col("k")).agg(approx_count_distinct(col("k"), 0.05))
+        .head().getLong(0)
+    // register-max merging: same registers whatever the partitioning
+    assert(est(3) == est(17))
+    assert(math.abs(est(3) - 1234L) * 5 <= 1234L,
+      s"estimate ${est(3)} off by more than 20% of 1234")
+  }
+
   test("bloom prefilter: zero false negatives, fpp near target, end-to-end equals exact anti-join, one anti-join in plan") {
     import org.apache.spark.sql.graft.ColumnBridge
     val members = (0 until 2000).map(i => s"m$i")
