@@ -112,6 +112,44 @@ object SketchSmoke {
       }
     }
 
+    // round-6 ops at scale: the bounded-memory heavy-hitter sketch
+    // (shuffle independent of the ~n/2-key vocabulary — the exact
+    // groupBy twin shuffles one row per distinct key), the
+    // bucket-expansion range join (hash join, candidate volume
+    // ~points x intervals-per-point, never |P| x |I|), and the
+    // bloom-prefiltered digest anti-join (probe-negative rows skip
+    // the join; note the fixture's hot identical digests land in ONE
+    // bloom cell set — degenerate keys cost nothing extra)
+    timed("heavy_hitters_mg64") {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val keys = spark.range(n).select(
+        when(col("id") % 10 < 5, concat(lit("hot_"), col("id") % 10))
+          .otherwise(concat(lit("cold_"), col("id"))).as("key"))
+      val mg = ColumnBridge.column(graft.functions.MisraGries(
+        ColumnBridge.expression(col("key")), 64).toAggregateExpression())
+      keys.agg(mg.as("hh")).select(explode(col("hh"))).count()
+    }
+    timed("range_join_bucketed") {
+      val pts = spark.range(n).select(col("id").as("p_id"),
+        (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100).as("v"))
+      val ivals = spark.range(math.max(n / 100, 100).toLong)
+        .select(col("id").as("band"), col("id").cast("double").as("lo"),
+          (col("id") + 12).cast("double").as("hi"))
+      graft.operators.RangeJoin.rangeJoin(pts, "v", ivals, "lo", "hi",
+        bucketWidth = 10.0).count()
+    }
+    timed("bloom_prefilter") {
+      val d = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+      val reject = d.where(col("doc_id") % 3 === 0).select(col("digest"))
+      val bloom = reject.stat.bloomFilter("digest", math.max(n / 3, 1000).toLong, 0.03)
+      val probe = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("digest")),
+          graft.functions.BloomMightContain.serialize(bloom)))
+      d.where(!probe).unionByName(
+        d.where(probe).join(reject.distinct(), Seq("digest"), "left_anti")).count()
+    }
+
     // cast to array<float>: Spark's / promotes to double, but the
     // embedding contract (like the driver table) is float32
     val emb = spark.range(n).select(col("id").as("vec_id"),
