@@ -853,9 +853,12 @@ object SparkEntry {
       val probe = ColumnBridge.column(graft.functions.BloomMightContain(
         ColumnBridge.expression(col("digest")),
         graft.functions.BloomMightContain.serialize(bloom)))
+      // no distinct on the reject side: anti-join is existence-based,
+      // and deduping it first would cost the very shuffle the bloom
+      // exists to avoid
       val definitelyClean = d.where(!probe)
       val verified = d.where(probe)
-        .join(reject.distinct(), Seq("digest"), "left_anti")
+        .join(reject, Seq("digest"), "left_anti")
       definitelyClean.unionByName(verified).select(col("doc_id"))
     }),
 

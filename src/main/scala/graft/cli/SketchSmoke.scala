@@ -147,7 +147,7 @@ object SketchSmoke {
           org.apache.spark.sql.graft.ColumnBridge.expression(col("digest")),
           graft.functions.BloomMightContain.serialize(bloom)))
       d.where(!probe).unionByName(
-        d.where(probe).join(reject.distinct(), Seq("digest"), "left_anti")).count()
+        d.where(probe).join(reject, Seq("digest"), "left_anti")).count()
     }
 
     // cast to array<float>: Spark's / promotes to double, but the
