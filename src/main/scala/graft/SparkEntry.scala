@@ -1111,6 +1111,52 @@ object SparkEntry {
           ((col("exact_cnt") - col("est")) * 64 <= col("n")).as("gap_ok"))
     }),
 
+    // HYBRID RETRIEVAL (BM25 recall -> vector rerank): the lexical
+    // top-50 provides cheap candidates; ONLY those 50 pay a cosine
+    // against the query vector (vec 0). The candidate set broadcasts
+    // into the embeddings scan, so the expensive vector side touches
+    // |candidates| rows however big the corpus — the standard
+    // two-stage retrieval shape. hybrid = 0.1*bm25 + cosine, formed
+    // from the two already-rounded components so both engines add
+    // identical doubles.
+    "ta_hybrid_search" -> ((s, dir) => {
+      val bm = Search.bm25TopK(docs(s, dir), BmTerms, k = 50)
+      val emb = embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val q = embeddings(s, dir).where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      broadcast(bm).join(emb, Seq("doc_id"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("score"),
+          round(Similarity.cosineCol(col("embedding"), col("q_emb")), 6)
+            .as("cosine"))
+        .select(col("doc_id"), col("score"), col("cosine"),
+          round(col("score") * 0.1 + col("cosine"), 6).as("hybrid"))
+        .orderBy(col("hybrid").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // STRATIFIED SAMPLING with an exact per-stratum quota: a
+    // deterministic integer-hash draw ranks docs WITHIN each lang and
+    // the k-capped partial aggregate takes exactly min(20, |stratum|)
+    // — the sampling twin of tp_topk_per_group (score = hash, not
+    // quality), so quota sampling costs one bounded-buffer shuffle,
+    // never a per-stratum sort.
+    "tp_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val draw = pmod(pmod(col("doc_id"), lit(1000003L)) * 131071L + 17L,
+        lit(1000003L))
+      val scored = docs(s, dir).select(col("lang"), col("doc_id"),
+        (-draw).cast("double").as("score"))
+      val agg = ColumnBridge.column(graft.functions.TopKByScore(
+        ColumnBridge.expression(col("score")),
+        ColumnBridge.expression(col("doc_id")), 20).toAggregateExpression())
+      scored.groupBy(col("lang")).agg(agg.as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.neighbor_id").as("doc_id"))
+    }),
+
     "ta_token_freq" -> ((s, dir) =>
       docs(s, dir)
         .select(explode(Dedup.tokensCol(col("text"))).as("token"))
@@ -1608,6 +1654,25 @@ object SparkEntry {
         shingleN = 3, containment = Some(0.9)),
 
       "ta_bm25_topk" -> Search.bm25OracleSql(BmTerms, k = 25),
+
+      "ta_hybrid_search" ->
+        s"""WITH bm AS (SELECT * FROM (${Search.bm25OracleSql(BmTerms, k = 50)}) b),
+           |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+           |r AS (SELECT bm.doc_id, bm.score,
+           |    round(list_inner_product(e.e, q.qe) /
+           |      (sqrt(list_inner_product(e.e, e.e)) * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cosine
+           |  FROM bm JOIN e ON bm.doc_id = e.doc_id CROSS JOIN q)
+           |SELECT doc_id, score, cosine, round(score * 0.1 + cosine, 6) AS hybrid
+           |FROM r ORDER BY hybrid DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+      "tp_stratified_sample" ->
+        """WITH d AS (SELECT lang, doc_id,
+          |    ((((doc_id % 1000003) + 1000003) % 1000003) * 131071 + 17) % 1000003 AS draw
+          |  FROM documents),
+          |r AS (SELECT lang, doc_id, row_number() OVER (
+          |    PARTITION BY lang ORDER BY draw ASC, doc_id ASC) AS rank FROM d)
+          |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id FROM r WHERE rank <= 20""".stripMargin,
 
       // the persisted index must reproduce the one-shot ranking exactly
       "ta_bm25_indexed" -> Search.bm25OracleSql(BmTerms, k = 25),

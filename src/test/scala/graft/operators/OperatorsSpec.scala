@@ -879,6 +879,47 @@ class OperatorsSpec extends AnyFunSuite {
       "the whole point is a hash join, not a nested loop: " + plan.take(1500))
   }
 
+  test("hybrid search: rerank only touches bm25 candidates, hybrid is the stated combination, order strict") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("ta_hybrid_search")(spark, dir)
+    val rows = df.select("doc_id", "score", "cosine", "hybrid")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length == 10)
+    // hybrid really is round(0.1*score + cosine, 6) of the rounded parts
+    rows.foreach { case (_, s, c, h) =>
+      assert(h == BigDecimal(0.1 * s + c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // descending by hybrid, doc_id tiebreak
+    assert(rows.sliding(2).forall { case Array((i1, _, _, h1), (i2, _, _, h2)) =>
+      h1 > h2 || (h1 == h2 && i1 < i2) })
+    // candidate containment: every reranked doc came from the bm25 top-50
+    val cand = Search.bm25TopK(spark.read.parquet(s"$dir/documents.parquet"),
+      Seq("dup", "spark", "vector", "join"), k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.forall(r => cand(r._1)))
+  }
+
+  test("stratified sample: exact per-stratum quota, deterministic draw order, matches rank-window form") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("tp_stratified_sample")(spark, dir)
+    val got = df.select("lang", "rank", "doc_id").as[(String, Long, Long)].collect().toSet
+    val P = 1000003L
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        pmod(pmod(col("doc_id"), lit(P)) * 131071L + 17L, lit(P)).as("draw"))
+    val want = base.withColumn("rank", row_number().over(
+        W.partitionBy(col("lang")).orderBy(col("draw").asc, col("doc_id").asc)))
+      .where(col("rank") <= 20)
+      .select(col("lang"), col("rank").cast("long"), col("doc_id"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    // quotas: exactly min(20, |stratum|) rows per lang
+    val per = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val strata = base.groupBy("lang").count().as[(String, Long)].collect().toMap
+    strata.foreach { case (l, n) => assert(per.getOrElse(l, 0) == math.min(20L, n)) }
+  }
+
   test("approx distinct: HLL estimate is partition-order independent and inside the error contract") {
     val df = (0 until 50000).map(i => (i % 1234).toLong).toDF("k")
     def est(parts: Int): Long =
