@@ -1070,6 +1070,42 @@ class OperatorsSpec extends AnyFunSuite {
       "bucket expansion must plan a hash join: " + plan.take(1500))
   }
 
+  test("range + overlap joins: seeded random fuzz (inverted/degenerate/huge intervals) equals brute force exactly") {
+    val rnd = new scala.util.Random(20260817L)
+    def v() = math.floor(rnd.nextDouble() * 2000 - 500) / 2 // negatives, .5s
+    // ~10% inverted (lo > hi), zero-length, and a few domain-spanning
+    val ivals = (0 until 200).map { i =>
+      val a = v(); val b = v()
+      val (lo, hi) =
+        if (i % 10 == 0) (math.max(a, b), math.min(a, b)) // inverted stays inverted
+        else if (i % 17 == 0) (a, a)                      // zero-length
+        else if (i % 23 == 0) (-1000.0, 1000.0)           // spans everything
+        else (math.min(a, b), math.min(a, b) + rnd.nextInt(60))
+      (i.toLong, lo, hi)
+    }
+    val pts = (0 until 300).map(j => (j.toLong, v()))
+    for (w <- Seq(7.0, 64.0)) { // bucket width below and above typical span
+      val got = RangeJoin.rangeJoin(pts.toDF("p_id", "pv"), "pv",
+          ivals.toDF("band", "lo", "hi"), "lo", "hi", bucketWidth = w)
+        .select("p_id", "band").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (p, x) <- pts; (b, lo, hi) <- ivals if x >= lo && x <= hi
+      } yield (p, b)).toSet
+      assert(got == want, s"rangeJoin W=$w: ${got.size} vs ${want.size}")
+      val gotO = RangeJoin.intervalOverlapJoin(
+          ivals.toDF("a_id", "a_lo", "a_hi"), "a_lo", "a_hi",
+          ivals.map { case (i, l, h) => (i, l, h) }.toDF("b_id", "b_lo", "b_hi"),
+          "b_lo", "b_hi", bucketWidth = w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      val wantO = (for {
+        (ai, alo, ahi) <- ivals; (bi, blo, bhi) <- ivals
+        if alo <= bhi && blo <= ahi
+      } yield (ai, bi)).toSet
+      assert(gotO.toSet == wantO, s"overlap W=$w: ${gotO.length} vs ${wantO.size}")
+      assert(gotO.length == gotO.toSet.size, s"overlap W=$w produced duplicates")
+    }
+  }
+
   test("pagerank: cycle stays uniform, mass conserves, and a random graph matches driver-side power iteration") {
     // a directed cycle is a fixed point of the power step: uniform in,
     // uniform out, at every iteration
