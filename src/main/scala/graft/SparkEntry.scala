@@ -1338,6 +1338,36 @@ object SparkEntry {
         .select(unix_timestamp(col("window_start")).cast("long").as("window_start_epoch"),
           col("event_type"), col("n_with_k"), col("sum_k"))),
 
+    // Streaming windowed heavy hitters twin: per-day-window
+    // Misra-Gries whose m-counter buffers live in the state store and
+    // merge across micro-batches. Same contract oracle as
+    // ta_heavy_hitters, per window: hot keys present (inner join),
+    // undercount bracketed — counter values are merge-order-dependent
+    // and never oracled. Stream ≡ contract pinned in StreamingSpec.
+    "st_heavy_hitters" -> ((s, dir) => {
+      val evPath = s"$dir/events.parquet"
+      val sk = graft.streaming.EventsStream.heavyBatchEquivalent(s, evPath)
+      val est = sk.select(col("window_start_ms"), col("n"),
+          explode(col("hh")).as("e"))
+        .select(col("window_start_ms"), col("n"),
+          col("e.key").as("key"), col("e.est").as("est"))
+      val ev = s.read.schema(graft.streaming.EventsStream.eventsSchema)
+        .parquet(evPath).where(col("event_id").isNotNull)
+      val key = when(col("event_id") % 10 < 5,
+          concat(lit("hot_"), (col("event_id") % 10).cast("string")))
+        .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+      val exact = ev
+        .select(window(col("ts"), "1 day").as("w"), key.as("key"))
+        .groupBy(unix_millis(col("w.start").cast("timestamp")).as("window_start_ms"),
+          col("key"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      exact.join(est, Seq("window_start_ms", "key"))
+        .where(col("exact_cnt") * 64 > col("n"))
+        .select(col("window_start_ms"), col("key"), col("exact_cnt"),
+          (col("est") <= col("exact_cnt")).as("under_ok"),
+          ((col("exact_cnt") - col("est")) * 64 <= col("n")).as("gap_ok"))
+    }),
+
     // Stream-static enrichment twin: micro-batch broadcast join
     // against the nation dim feeding the watermarked windowed rollup
     // (stateless join, only the agg holds state; stream ≡ twin pinned
@@ -2096,6 +2126,17 @@ object SparkEntry {
           "event_type, count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k, " +
           "CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
           "FROM events GROUP BY 1, 2"),
+
+      "st_heavy_hitters" ->
+        """WITH t AS (SELECT CAST(epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS window_start_ms,
+          |    CASE WHEN event_id % 10 < 5 THEN 'hot_' || CAST(event_id % 10 AS VARCHAR)
+          |         ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+          |  FROM events WHERE event_id IS NOT NULL),
+          |  nn AS (SELECT window_start_ms, count(*) AS n FROM t GROUP BY 1)
+          |SELECT t.window_start_ms, t.key, count(*) AS exact_cnt,
+          |  TRUE AS under_ok, TRUE AS gap_ok
+          |FROM t JOIN nn USING (window_start_ms)
+          |GROUP BY t.window_start_ms, t.key, nn.n HAVING count(*) * 64 > nn.n""".stripMargin,
 
       "st_enrich" ->
         ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', e.ts)) AS BIGINT) AS window_start_epoch, " +

@@ -109,6 +109,44 @@ object EventsStream {
   def runQuantilesOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runCompleteWith(spark, dir, queryName, quantilesWindowedAgg(_))
 
+  // ---- streaming windowed heavy hitters -----------------------------------
+
+  /** Per-day-window Misra-Gries heavy hitters under Structured
+    * Streaming: the sketch IS the aggregation buffer, so its m-counter
+    * summaries serialize into the state store and merge across
+    * micro-batches by the PODS'12 rule — per-window heavy-key tracking
+    * costs O(m) state per open window, never a per-key count table
+    * (the same reason approx_percentile streams: any
+    * TypedImperativeAggregate with a sound merge does). Counter VALUES
+    * depend on micro-batch arrival order; the StreamingSpec pin and
+    * the driver oracle check the CONTRACT (hot-key presence +
+    * undercount bracket), exactly like ta_heavy_hitters. The hot/cold
+    * key derivation matches that query (the testdata is uniform, so
+    * the heavy-hitter regime is derived deterministically from
+    * event_id).
+    */
+  def heavyHittersWindowedAgg(events: DataFrame, m: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val key = when(col("event_id") % 10 < 5,
+        concat(lit("hot_"), (col("event_id") % 10).cast("string")))
+      .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+    val mg = ColumnBridge.column(graft.functions.MisraGries(
+      ColumnBridge.expression(col("key")), m).toAggregateExpression())
+    events.where(col("event_id").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), key.as("key"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(mg.as("hh"), count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start").cast("timestamp")).as("window_start_ms"),
+        col("hh"), col("n"))
+  }
+
+  def runHeavyOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runCompleteWith(spark, dir, queryName, heavyHittersWindowedAgg(_))
+
+  def heavyBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersWindowedAgg(spark.read.schema(eventsSchema).parquet(dir))
+
   // ---- stream-static enrichment join --------------------------------------
 
   /** Stream-static broadcast enrichment: each micro-batch hash-joins

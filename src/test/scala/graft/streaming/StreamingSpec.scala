@@ -362,6 +362,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty, s"stream $got != twin $want")
   }
 
+  test("streaming heavy hitters: MG buffers merge through the state store, contract holds per window, capacity bounded") {
+    import spark.implicits._
+    val day = java.sql.Timestamp.valueOf("2026-07-01 00:00:00").getTime
+    // two day-windows, each fed from BOTH files so summaries must
+    // merge across micro-batches; ids map to hot_0..hot_4 (id%10<5)
+    // or unique colds under the operator's derivation
+    def ev(id: Long, dayOff: Int, offMin: Int) =
+      (id, new java.sql.Timestamp(day + dayOff * 86400000L + offMin * 60000L),
+        1L, "click", 1.0, "{}")
+    // window 0: hot ids (k*10+h) x 20 per hot key, 40 unique colds
+    // split across files; window 1: smaller mix
+    def hotIds(n: Int, seed: Int) =
+      (0 until n).flatMap(k => (0 until 5).map(h => (k * 10 + h).toLong))
+    def coldIds(n: Int, base: Long) = (0 until n).map(i => base + 10L * i + 7L)
+    // 100 hot events + 80 unique colds in window 0: 85 distinct keys
+    // against capacity 64, so decrements/evictions genuinely fire
+    val w0a = hotIds(10, 0).zipWithIndex.map { case (id, i) => ev(id, 0, i % 300) } ++
+      coldIds(40, 100001L).zipWithIndex.map { case (id, i) => ev(id, 0, i) }
+    val w0b = hotIds(10, 1).zipWithIndex.map { case (id, i) => ev(id, 0, 300 + i % 300) } ++
+      coldIds(40, 200001L).zipWithIndex.map { case (id, i) => ev(id, 0, 30 + i) }
+    val w1 = hotIds(4, 2).zipWithIndex.map { case (id, i) => ev(id, 1, i % 100) } ++
+      coldIds(10, 300001L).zipWithIndex.map { case (id, i) => ev(id, 1, i) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sthh").toString
+    Seq(w0a, w1, w0b).foreach { f =>
+      f.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    val out = EventsStream.runHeavyOnce(spark, dir, s"sthh_${System.nanoTime()}")
+      .select(col("window_start_ms"), col("hh"), col("n"))
+      .as[(Long, Seq[(String, Long)], Long)].collect()
+    assert(out.length == 2)
+    // exact per-(window, key) truth from the same fixture
+    val all = (w0a ++ w0b).map(e => (0, e._1)) ++ w1.map(e => (1, e._1))
+    def keyOf(id: Long) = if (id % 10 < 5) s"hot_${id % 10}" else s"cold_$id"
+    for ((wms, hh, n) <- out) {
+      val wIdx = if (wms == day) 0 else 1
+      val exact = all.filter(_._1 == wIdx).groupBy(t => keyOf(t._2))
+        .view.mapValues(_.size.toLong).toMap
+      assert(n == exact.values.sum)
+      assert(hh.size <= 64, s"capacity violated: ${hh.size}")
+      val est = hh.toMap
+      // presence: every key above n/(m+1) is in the summary (hots are)
+      exact.foreach { case (k, c) =>
+        if (c * 65 > n) assert(est.contains(k), s"window $wIdx lost heavy key $k ($c of $n)")
+      }
+      // bracket: always an undercount, gap within n/(m+1)
+      est.foreach { case (k, e) =>
+        val c = exact.getOrElse(k, 0L)
+        assert(e <= c, s"window $wIdx overcounted $k: $e > $c")
+        assert(c - e <= n / 65 + 1, s"window $wIdx gap for $k: $c - $e vs n=$n")
+      }
+    }
+  }
+
   test("stream-static enrichment: micro-batched broadcast join == batch twin, dim rows multiply correctly") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-06-01 09:00:00").getTime
