@@ -803,6 +803,22 @@ object SparkEntry {
             greatest(col("a_lo"), col("b_lo")), 6).as("overlap"))
     }),
 
+    // FUZZY JOIN (record linkage): dirty single-edit variants matched
+    // back to canonical strings under levenshtein <= 2 via the
+    // lossless positional q-gram filter — equi-join on (gram,
+    // pos-bucket), count filter, short-string fallback branch, exact
+    // verify. Output is bit-identical to the brute-force predicate
+    // join the oracle runs; the Spark side never forms |L| x |R|.
+    "j8_fuzzy_join" -> ((s, dir) => {
+      val F = graft.operators.FuzzyJoin
+      val d = docs(s, dir)
+      F.fuzzyJoin(
+        d.select(col("doc_id").as("l_id"), F.canonicalCol(col("doc_id")).as("l_s")),
+        "l_id", "l_s",
+        d.select(col("doc_id").as("r_id"), F.dirtyCol(col("doc_id")).as("r_s")),
+        "r_id", "r_s", d = 2, q = 3)
+    }),
+
     // Domain RANKING for crawl prioritization: PageRank power
     // iteration over the doc-derived domain link graph — ranks
     // broadcast each step so the edge table never shuffles; one
@@ -1813,6 +1829,15 @@ object SparkEntry {
           |  ROUND(LEAST(a.a_hi, b.b_hi) - GREATEST(a.a_lo, b.b_lo), 6) AS overlap
           |FROM a JOIN b ON a.user_id = b.user_id
           |  AND a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi""".stripMargin,
+
+      "j8_fuzzy_join" -> {
+        val F = graft.operators.FuzzyJoin
+        s"""WITH l AS (SELECT doc_id AS l_id, ${F.canonicalSql("doc_id")} AS l_s FROM documents),
+           |  r AS (SELECT doc_id AS r_id, ${F.dirtySql("doc_id")} AS r_s FROM documents)
+           |SELECT l.l_id, r.r_id, CAST(levenshtein(l.l_s, r.r_s) AS BIGINT) AS dist
+           |FROM l JOIN r ON abs(length(l.l_s) - length(r.r_s)) <= 2
+           |  AND levenshtein(l.l_s, r.r_s) <= 2""".stripMargin
+      },
 
       "ex_url_canonical" ->
         s"""WITH u AS (SELECT doc_id, ${graft.operators.UrlCanon.urlSql("doc_id")} AS url FROM documents)
