@@ -1127,6 +1127,46 @@ object SparkEntry {
           ((col("exact_cnt") - col("est")) * 64 <= col("n")).as("gap_ok"))
     }),
 
+    // POINT-FREQUENCY estimates under a COUNT-MIN sketch — the lookup
+    // sibling of ta_heavy_hitters' Misra-Gries: MG can only speak
+    // about keys it retained; CMS answers "how often did THIS key
+    // occur" for ANY probe key (including absent ones) from
+    // depth x width counters built by one mergeable treeAggregate —
+    // never the per-distinct-key groupBy shuffle. Error sign is
+    // opposite to MG: NO undercount ever (hard guarantee), overcount
+    // <= 2*eps*n with P(fail) <= 4^-depth per key (Markov per row,
+    // depth=7 at confidence 0.99 -> ~6e-5; validated at sf0.001/0.01/
+    // 0.1, seed fixed). The exact side semi-joins to the probe keys
+    // FIRST, so the contract check itself never shuffles the
+    // vocabulary either. Flags only in the output (the estimates are
+    // deterministic for fixed data+seed but engine-specific).
+    "ta_cms_freq" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      import s.implicits._
+      val toks = events(s, dir).where(col("event_id").isNotNull)
+        .select(when(col("event_id") % 10 < 5,
+            concat(lit("hot_"), (col("event_id") % 10).cast("string")))
+          .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+          .as("key"))
+      val cms = toks.stat.countMinSketch("key", eps = 0.002,
+        confidence = 0.99, seed = 42)
+      val est = ColumnBridge.column(graft.functions.CmsEstimate(
+        ColumnBridge.expression(col("key")),
+        graft.functions.CmsEstimate.serialize(cms)))
+      val probes = s.range(0, 5)
+        .select(concat(lit("hot_"), col("id").cast("string")).as("key"))
+        .unionByName(Seq("cold_7", "cold_77", "absent_a", "absent_b").toDF("key"))
+      val exact = toks.join(broadcast(probes), Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      probes.join(exact, Seq("key"), "left")
+        .na.fill(0L, Seq("exact_cnt"))
+        .crossJoin(broadcast(n))
+        .select(col("key"), col("exact_cnt"),
+          (est >= col("exact_cnt")).as("over_ok"),
+          ((est - col("exact_cnt")) * 250 <= col("n")).as("bound_ok"))
+    }),
+
     // HYBRID RETRIEVAL (BM25 recall -> vector rerank): the lexical
     // top-50 provides cheap candidates; ONLY those 50 pay a cosine
     // against the query vector (vec 0). The candidate set broadcasts
@@ -2069,6 +2109,19 @@ object SparkEntry {
           |  nn AS (SELECT count(*) AS n FROM t)
           |SELECT t.key, count(*) AS exact_cnt, TRUE AS under_ok, TRUE AS gap_ok
           |FROM t, nn GROUP BY t.key, nn.n HAVING count(*) * 64 > nn.n""".stripMargin,
+
+      "ta_cms_freq" ->
+        """WITH t AS (SELECT CASE WHEN event_id % 10 < 5
+          |    THEN 'hot_' || CAST(event_id % 10 AS VARCHAR)
+          |    ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+          |  FROM events WHERE event_id IS NOT NULL),
+          |  p AS (SELECT 'hot_' || CAST(i AS VARCHAR) AS key
+          |      FROM (SELECT unnest(generate_series(0, 4)) AS i)
+          |    UNION ALL SELECT * FROM (VALUES ('cold_7'), ('cold_77'),
+          |      ('absent_a'), ('absent_b')) v(key))
+          |SELECT p.key, CAST(count(t.key) AS BIGINT) AS exact_cnt,
+          |  TRUE AS over_ok, TRUE AS bound_ok
+          |FROM p LEFT JOIN t ON p.key = t.key GROUP BY p.key""".stripMargin,
 
       "ta_token_freq" ->
         ("WITH t AS (SELECT unnest(list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '')) AS token FROM documents) " +

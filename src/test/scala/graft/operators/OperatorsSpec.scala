@@ -1180,4 +1180,29 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(twice == got, "canonical form must be a fixed point")
   }
+
+  test("count-min estimate: never undercounts any key; exact when width dwarfs the vocabulary; absent keys bounded") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // zipfy-ish stream: key k_i repeated (50 - i) times, i < 50
+    val rows = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"k_$i")).toDF("key")
+    val est = { cms: org.apache.spark.util.sketch.CountMinSketch =>
+      ColumnBridge.column(graft.functions.CmsEstimate(
+        ColumnBridge.expression(col("key")),
+        graft.functions.CmsEstimate.serialize(cms)))
+    }
+    // hard guarantee (any width): est >= exact for EVERY key — this is
+    // also the test that build-side and probe-side hashing agree (a
+    // type mismatch would zero the estimates)
+    val narrow = rows.stat.countMinSketch("key", 0.1, 0.9, 7)
+    val exact = rows.groupBy("key").count()
+    assert(exact.where(est(narrow) < col("count")).count() == 0)
+    // wide sketch, 50 keys over 2/0.0001 = 20000 cells: estimates are
+    // exact with overwhelming probability (pinned for this seed)
+    val wide = rows.stat.countMinSketch("key", 0.0001, 0.999, 7)
+    assert(exact.where(est(wide) =!= col("count")).count() == 0)
+    // absent key: nonneg and within collision mass of the wide sketch
+    val absent = Seq("never_seen").toDF("key")
+      .select(est(wide).as("e")).head().getLong(0)
+    assert(absent >= 0 && absent <= 3, s"absent-key estimate $absent")
+  }
 }
