@@ -1213,6 +1213,64 @@ object SparkEntry {
           col("t.neighbor_id").as("doc_id"))
     }),
 
+    // COLLOCATION MINING (PMI over adjacent-token bigrams): the
+    // phrase-detection pass before tokenizer training. All counts are
+    // integers from two hash aggs (unigrams, bigrams); PMI is ONE ln
+    // over their exact integer ratio, so both engines feed the same
+    // rational into the same log. The uniform testdata has no natural
+    // collocations, so one is planted deterministically ('zig zag' on
+    // every 5th doc — pmi ~ ln(nu^2/(nb*c)) >> 0 while noise bigrams
+    // sit near 0). Long arithmetic stays under 2^63 through sf0.1 x
+    // 100 (nu^2 * c_ab ~ 1e17); past that, pre-divide or go decimal.
+    "ta_collocations" -> ((s, dir) => {
+      val txt = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" zig zag"))).otherwise(col("text"))
+      val w = docs(s, dir).select(Dedup.wordSeqCol(txt).as("w"))
+        .where(size(col("w")) >= 2)
+      val uni = w.select(explode(col("w")).as("t"))
+      val uc = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val nu = uni.agg(count(lit(1)).as("nu"))
+      val bi = w.select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("a"),
+            element_at(col("w"), i + 1).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 20)
+        .join(uc.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uc.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("a"), col("b"), col("c_ab"),
+          round(log((col("c_ab") * col("nu") * col("nu")) /
+            (col("nb") * col("c_a") * col("c_b"))), 6).as("pmi"))
+    }),
+
+    // KEYWORD EXTRACTION (tf-idf top-3 per doc): tf from one
+    // (doc, term) hash agg over the exploded token stream, df from a
+    // second agg over those already-distinct pairs, smooth idf
+    // ln((N+1)/(df+1))+1, rank per doc. The rank window partitions by
+    // doc_id, so each partition holds ONE document's distinct terms
+    // (bounded by document length) — the safe window shape, unlike
+    // the per-query corpus-wide windows TopKByScore replaced. Ties
+    // (same tf, same df) break on term asc; both engines run the
+    // identical integer-ratio-into-ln arithmetic.
+    "ta_keywords_tfidf" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(Dedup.wordSeqCol(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1))
+      scored.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("term").asc)))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), round(col("score"), 6).as("score"))
+    }),
+
     "ta_token_freq" -> ((s, dir) =>
       docs(s, dir)
         .select(explode(Dedup.tokensCol(col("text"))).as("token"))
@@ -2122,6 +2180,40 @@ object SparkEntry {
           |SELECT p.key, CAST(count(t.key) AS BIGINT) AS exact_cnt,
           |  TRUE AS over_ok, TRUE AS bound_ok
           |FROM p LEFT JOIN t ON p.key = t.key GROUP BY p.key""".stripMargin,
+
+      "ta_collocations" ->
+        """WITH d AS (SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' zig zag'
+          |    ELSE text END AS text FROM documents),
+          |  w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS w FROM d),
+          |  w2 AS (SELECT w FROM w WHERE len(w) >= 2),
+          |  uni AS (SELECT unnest(w) AS t FROM w2),
+          |  uc AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+          |  nu AS (SELECT count(*) AS nu FROM uni),
+          |  bi AS (SELECT w[i] AS a, w[i + 1] AS b
+          |    FROM w2, UNNEST(generate_series(1, len(w) - 1)) AS un(i)),
+          |  nb AS (SELECT count(*) AS nb FROM bi),
+          |  cab AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+          |    HAVING count(*) >= 20)
+          |SELECT cab.a, cab.b, cab.c_ab,
+          |  ROUND(ln((cab.c_ab * nu.nu * nu.nu) / (nb.nb * ua.c * ub.c)), 6) AS pmi
+          |FROM cab JOIN uc ua ON ua.t = cab.a JOIN uc ub ON ub.t = cab.b, nu, nb""".stripMargin,
+
+      "ta_keywords_tfidf" ->
+        """WITH w AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '')) AS term FROM documents),
+          |  tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+          |  dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |  nn AS (SELECT count(*) AS n FROM documents),
+          |  s AS (SELECT tf.doc_id, tf.term,
+          |      tf.tf * (ln((nn.n + 1.0) / (dft.df + 1.0)) + 1) AS score
+          |    FROM tf JOIN dft USING (term), nn),
+          |  r AS (SELECT doc_id, term, score, row_number() OVER (
+          |      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          |    FROM s)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+          |  ROUND(score, 6) AS score FROM r WHERE rank <= 3""".stripMargin,
 
       "ta_token_freq" ->
         ("WITH t AS (SELECT unnest(list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '')) AS token FROM documents) " +
