@@ -1127,6 +1127,32 @@ object SparkEntry {
           ((col("exact_cnt") - col("est")) * 64 <= col("n")).as("gap_ok"))
     }),
 
+    // ROLLING row-frame stats per entity (last-4-events sum/min/max/
+    // avg ordered by (ts, event_id)) — the feature-engineering shape
+    // for sessions/fraud/rate features. All four aggregates share ONE
+    // window spec, so the plan pays a single (user_id)-hash exchange
+    // and one sort; the frame is row-bounded, so state per row is
+    // O(4) however long the partition. The measure is floor(value*100)
+    // — an exact integer both engines derive from the same double
+    // product — so frame sums are order-free integers and the avg is
+    // one rounded division at the end.
+    "ev_rolling" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      val m = floor(col("value") * 100)
+      events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("roll_cnt"),
+          sum(m).over(w).as("roll_sum"),
+          min(m).over(w).as("roll_min"),
+          max(m).over(w).as("roll_max"))
+        .select(col("user_id"), col("event_id"), col("roll_cnt"),
+          col("roll_sum"), col("roll_min"), col("roll_max"),
+          round(col("roll_sum") / col("roll_cnt"), 6).as("roll_avg"))
+    }),
+
     // POINT-FREQUENCY estimates under a COUNT-MIN sketch — the lookup
     // sibling of ta_heavy_hitters' Misra-Gries: MG can only speak
     // about keys it retained; CMS answers "how often did THIS key
@@ -2167,6 +2193,19 @@ object SparkEntry {
           |  nn AS (SELECT count(*) AS n FROM t)
           |SELECT t.key, count(*) AS exact_cnt, TRUE AS under_ok, TRUE AS gap_ok
           |FROM t, nn GROUP BY t.key, nn.n HAVING count(*) * 64 > nn.n""".stripMargin,
+
+      "ev_rolling" ->
+        """SELECT user_id, event_id,
+          |  CAST(count(*) OVER w AS BIGINT) AS roll_cnt,
+          |  CAST(sum(m) OVER w AS BIGINT) AS roll_sum,
+          |  CAST(min(m) OVER w AS BIGINT) AS roll_min,
+          |  CAST(max(m) OVER w AS BIGINT) AS roll_max,
+          |  ROUND(CAST(sum(m) OVER w AS DOUBLE) / count(*) OVER w, 6) AS roll_avg
+          |FROM (SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS m
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
 
       "ta_cms_freq" ->
         """WITH t AS (SELECT CASE WHEN event_id % 10 < 5

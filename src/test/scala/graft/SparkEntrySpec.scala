@@ -168,6 +168,14 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(!an.contains("Join"), s"st_anomaly must not plan a join:\n${an.take(800)}")
     assert("Exchange hashpartitioning".r.findAllIn(an).length == 1,
       s"st_anomaly must shuffle exactly once:\n${an.take(1200)}")
+    // ev_rolling: all four frame aggregates share one window spec —
+    // one user_id exchange, one sort, a single Window operator
+    val ro = SparkEntry.queries("ev_rolling")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ro).length == 1,
+      s"ev_rolling must shuffle exactly once:\n${ro.take(1200)}")
+    assert("Window".r.findAllIn(ro).length == 1,
+      s"ev_rolling must evaluate ONE Window operator:\n${ro.take(1200)}")
   }
 
   test("whole-stage codegen covers the normalization path") {
