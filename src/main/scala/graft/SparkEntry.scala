@@ -101,6 +101,33 @@ object SparkEntry {
     s"'$pre' || text || '$post'"
   }
 
+  /** Full page WITH a metadata head for ex_html_meta: mixed-case
+    * <TITLE> (pins case-insensitive matching), a description that is
+    * MISSING on every 3rd doc (pins the no-match -> '' path), a
+    * canonical link, robots noindex on every 7th doc.
+    */
+  private def headPageCol: Column = concat(
+    lit("<html><head><TITLE>Doc "), col("doc_id").cast("string"),
+    lit(" | Example</TITLE>"),
+    when(col("doc_id") % 3 =!= 0,
+      concat(lit("<meta name=\"description\" content=\""),
+        substring(col("text"), 1, 40), lit("\"/>"))).otherwise(lit("")),
+    lit("<link rel=\"canonical\" href=\"https://example.com/doc/"),
+    col("doc_id").cast("string"), lit("\"/>"),
+    when(col("doc_id") % 7 === 0,
+      lit("<meta name=\"robots\" content=\"nofollow,noindex\"/>"))
+      .otherwise(lit("")),
+    lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+  private def headPageSql: String =
+    """'<html><head><TITLE>Doc ' || doc_id || ' | Example</TITLE>' ||
+      |CASE WHEN doc_id % 3 <> 0
+      |  THEN '<meta name="description" content="' || substring(text, 1, 40) || '"/>'
+      |  ELSE '' END ||
+      |'<link rel="canonical" href="https://example.com/doc/' || doc_id || '"/>' ||
+      |CASE WHEN doc_id % 7 = 0
+      |  THEN '<meta name="robots" content="nofollow,noindex"/>' ELSE '' END ||
+      |'</head><body><p>' || text || '</p></body></html>'""".stripMargin.replace("\n", " ")
+
   /** The approx-quantile rank-contract flag (shared by the type-level
     * and windowed quantile oracles): used inside a grouped agg whose
     * rows carry `n` (group size) and `value`; TRUE iff the candidate
@@ -715,6 +742,20 @@ object SparkEntry {
     "ex_html_main" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         graft.operators.HtmlMain.mainContentCol(pageCol(withNav = true)).as("main_text"))),
+
+    // Page METADATA extraction (head-side complement of the body
+    // strip): title, meta description (missing on every 3rd doc —
+    // pins no-match semantics), canonical link (what feeds URL-level
+    // dedup), robots-noindex flag (the hard crawl pre-filter). One
+    // codegen'd regex per field over the synthesized page, no shuffle.
+    "ex_html_meta" -> ((s, dir) => {
+      val H = graft.operators.HtmlMain
+      docs(s, dir).select(col("doc_id"),
+        H.metaTitleCol(headPageCol).as("title"),
+        H.metaDescriptionCol(headPageCol).as("description"),
+        H.canonicalLinkCol(headPageCol).as("canonical_url"),
+        H.noindexCol(headPageCol).as("noindex"))
+    }),
 
     // The WEB-PIPELINE capstone: page HTML in -> training doc out.
     // Composes ex_html_main's extraction with the curation gates over
@@ -1907,6 +1948,16 @@ object SparkEntry {
 
       "ex_html_main" ->
         s"SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(pageSql(withNav = true))} AS main_text FROM documents",
+
+      "ex_html_meta" -> {
+        val H = graft.operators.HtmlMain
+        s"""WITH p AS (SELECT doc_id, $headPageSql AS html FROM documents)
+           |SELECT doc_id, ${H.metaTitleSql("html")} AS title,
+           |  ${H.metaDescriptionSql("html")} AS description,
+           |  ${H.canonicalLinkSql("html")} AS canonical_url,
+           |  ${H.noindexSql("html")} AS noindex
+           |FROM p""".stripMargin
+      },
 
       "ex_web_pipeline" ->
         s"""WITH ext AS (SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(pageSql(withNav = false))} AS t FROM documents),

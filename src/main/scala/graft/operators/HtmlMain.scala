@@ -80,4 +80,36 @@ object HtmlMain {
        |    s -> s['nt'] >= $minTokens
        |      AND CAST(s['na'] AS DOUBLE) <= $maxLinkDensity * CAST(s['nt'] AS DOUBLE)),
        |  s -> s['txt']), ' '), '\\s+', ' ', 'g'))""".stripMargin
+
+  // ---- page METADATA extraction (title / meta description /
+  // canonical link / robots-noindex) — the head-side complement of
+  // the body's main-content strip: canonical feeds URL-level dedup
+  // (UrlCanon) and noindex is a hard pre-filter every crawl pipeline
+  // honors. Each field is ONE anchored case-insensitive regex over
+  // the raw page (narrow projection, codegen'd, no shuffle); the
+  // same pattern constants drive both engine faces (Java regex and
+  // DuckDB RE2 agree on these constructs, and both return '' for a
+  // no-match group — pinned by the missing-description fixture rows).
+
+  private val TitleRe = "(?i)<title[^>]*>([^<]*)</title>"
+  private val DescRe = "(?i)<meta\\s+name=\"description\"\\s+content=\"([^\"]*)\""
+  private val CanonRe = "(?i)<link\\s+rel=\"canonical\"\\s+href=\"([^\"]*)\""
+  private val NoindexRe = "(?i)<meta\\s+name=\"robots\"\\s+content=\"[^\"]*noindex"
+
+  def metaTitleCol(html: Column): Column =
+    trim(regexp_extract(html, TitleRe, 1))
+  def metaDescriptionCol(html: Column): Column =
+    regexp_extract(html, DescRe, 1)
+  def canonicalLinkCol(html: Column): Column =
+    regexp_extract(html, CanonRe, 1)
+  def noindexCol(html: Column): Column = html.rlike(NoindexRe)
+
+  def metaTitleSql(html: String): String =
+    s"trim(regexp_extract($html, '$TitleRe', 1))"
+  def metaDescriptionSql(html: String): String =
+    s"regexp_extract($html, '$DescRe', 1)"
+  def canonicalLinkSql(html: String): String =
+    s"regexp_extract($html, '$CanonRe', 1)"
+  def noindexSql(html: String): String =
+    s"regexp_matches($html, '$NoindexRe')"
 }
