@@ -649,6 +649,55 @@ object SparkEntry {
         Dedup.repetitionFracCol(col("text"), 3).as("dup_3gram_frac"),
         (Dedup.repetitionFracCol(col("text"), 2) > 0.9).as("flagged"))),
 
+    // WINSORIZATION (per-group outlier clipping at [p05, p95]) — the
+    // standard robust-stats step before aggregating noisy measures.
+    // Bounds come from one grouped percentile agg (|groups| rows,
+    // broadcast back into the row stream), the clip is a codegen'd
+    // least/greatest projection — rows shuffle once for the bounds
+    // agg and never again. At a 10^12-row table swap the exact
+    // percentile for approx_percentile exactly as ev_quantiles_approx
+    // does (the exact buffer per group is the scale hazard there).
+    // Output is per-row (the transform itself), so no double-sum
+    // order dependence anywhere.
+    "tp_winsorize" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val bounds = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+            .as("clipped"),
+          (col("value") < col("lo") || col("value") > col("hi"))
+            .as("was_outlier"))
+    }),
+
+    // FUNNEL analytics (ordered-stage sequence match): how far does
+    // each user get through view -> click(after) -> purchase(after)?
+    // Each stage is one conditional min-ts agg chained through an
+    // equi-join on user_id — stage k's input is stage k-1's survivors,
+    // so candidate volume only shrinks; no per-user event array is
+    // ever materialized and nothing sorts. Timestamps are compared
+    // in-plan only (never output — engines may disagree on rendering,
+    // not ordering).
+    "ev_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.join(s1, Seq("user_id"))
+        .where(col("event_type") === "click" && col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.join(s2, Seq("user_id"))
+        .where(col("event_type") === "purchase" && col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+            + when(col("t3").isNotNull, 1L).otherwise(0L)).as("reached"))
+    }),
+
     // Exact interpolated quantiles per event type (Spark `percentile`
     // ≡ DuckDB `quantile_cont`, same type-7 linear interpolation) —
     // the latency/size-distribution summary every event pipeline ships;
@@ -2038,6 +2087,30 @@ object SparkEntry {
            |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted
            |FROM p""".stripMargin
       },
+
+      "tp_winsorize" ->
+        """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+          |    quantile_cont(value, 0.95) AS hi
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+          |SELECT e.event_id, e.event_type,
+          |  round(least(greatest(e.value, b.lo), b.hi), 6) AS clipped,
+          |  (e.value < b.lo OR e.value > b.hi) AS was_outlier
+          |FROM events e JOIN b USING (event_type)
+          |WHERE e.value IS NOT NULL""".stripMargin,
+
+      "ev_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, ts FROM events
+          |    WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          |  s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+          |    WHERE event_type = 'view' GROUP BY 1),
+          |  s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+          |    WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+          |  s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+          |    WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+          |SELECT s1.user_id, CAST(1
+          |  + (CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+          |  + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached
+          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
 
       "ev_quantiles" ->
         """SELECT event_type, count(*) AS n,

@@ -138,6 +138,43 @@ object SketchSmoke {
       graft.operators.RangeJoin.rangeJoin(pts, "v", ivals, "lo", "hi",
         bucketWidth = 10.0).count()
     }
+    timed("fuzzy_join_qgram") {
+      // n canonical 36-char strings vs n single-edit dirty variants,
+      // q=5: expected gram-join volume is n^2 x ~32 aligned offsets x
+      // 26^-5 ~ 1e-5 x n^2 (1.8M candidate rows at n=400k, pruned
+      // further by the count filter at threshold 36-5+1-10=22) — wall
+      // tracks that candidate volume, never the n^2 Levenshtein grid.
+      // Gram width picks the tradeoff: q=3 on 12-char strings (the
+      // oracle fixture) is fine at query scale but its 26^-3 aligned
+      // selectivity would go quadratic here; record-linkage-length
+      // strings want the wider gram.
+      val F = graft.operators.FuzzyJoin
+      val ids = spark.range(n)
+      def wide(c: org.apache.spark.sql.Column) = concat(
+        F.canonicalCol(c), F.canonicalCol(c + 500000L), F.canonicalCol(c + 9000000L))
+      def wideDirty(c: org.apache.spark.sql.Column) = concat(
+        F.dirtyCol(c), F.canonicalCol(c + 500000L), F.canonicalCol(c + 9000000L))
+      F.fuzzyJoin(
+        ids.select(col("id").as("l_id"), wide(col("id")).as("l_s")),
+        "l_id", "l_s",
+        ids.select(col("id").as("r_id"), wideDirty(col("id")).as("r_s")),
+        "r_id", "r_s", d = 2, q = 5).count()
+    }
+    timed("cms_probe") {
+      // mergeable count-min build over the hot/cold stream + a
+      // 9-key probe: the build is one treeAggregate, the probe a
+      // broadcast expression — nothing scales with the vocabulary
+      val keys = spark.range(n).select(
+        when(col("id") % 10 < 5, concat(lit("hot_"), col("id") % 10))
+          .otherwise(concat(lit("cold_"), col("id"))).as("key"))
+      val cms = keys.stat.countMinSketch("key", 0.002, 0.99, 42)
+      val est = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.CmsEstimate(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("key")),
+          graft.functions.CmsEstimate.serialize(cms)))
+      spark.range(9).select(concat(lit("hot_"), col("id")).as("key"))
+        .select(est.as("e")).where(col("e") >= 0).count()
+    }
     timed("bloom_prefilter") {
       val d = docs.select(col("doc_id"), md5(col("text")).as("digest"))
       val reject = d.where(col("doc_id") % 3 === 0).select(col("digest"))
