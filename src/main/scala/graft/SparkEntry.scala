@@ -792,6 +792,34 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.operators.HtmlMain.mainContentCol(pageCol(withNav = true)).as("main_text"))),
 
+    // LINK EXTRACTION + inbound anchor-text aggregation: every <a>
+    // (href, anchor) pair is pulled by one regexp_extract_all pass,
+    // zipped, exploded, and grouped by target — inbound anchor text
+    // is the classic off-page relevance/label signal, and the link
+    // rows are the edge list DomainRank consumes. Two deterministic
+    // per-doc links are planted into the page (targets in a fixed
+    // 101-slot space so in-degree is meaningful at every SF). One
+    // narrow projection + one hash agg on the target key.
+    "ex_links" -> ((s, dir) => {
+      val re = "<a href=\"([^\"]*)\">([^<]*)</a>"
+      val page = concat(
+        lit("<html><body><p>"), col("text"),
+        lit("</p><a href=\"/doc/"), pmod(col("doc_id") * 7 + 3, lit(101)).cast("string"),
+        lit("\">ref "), pmod(col("doc_id"), lit(13)).cast("string"),
+        lit("</a> <a href=\"/doc/"), pmod(col("doc_id") * 11 + 5, lit(101)).cast("string"),
+        lit("\">see "), pmod(col("doc_id"), lit(17)).cast("string"),
+        lit("</a></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(arrays_zip(
+          regexp_extract_all(page, lit(re), lit(1)),
+          regexp_extract_all(page, lit(re), lit(2)))).as("l"))
+        .select(col("l.0").as("href"), col("l.1").as("anchor"))
+        .groupBy(col("href")).agg(
+          count(lit(1)).as("n_inlinks"),
+          countDistinct(col("anchor")).as("n_anchors"),
+          min(col("anchor")).as("first_anchor"))
+    }),
+
     // Page METADATA extraction (head-side complement of the body
     // strip): title, meta description (missing on every 3rd doc —
     // pins no-match semantics), canonical link (what feeds URL-level
@@ -1997,6 +2025,21 @@ object SparkEntry {
 
       "ex_html_main" ->
         s"SELECT doc_id, ${graft.operators.HtmlMain.mainContentSql(pageSql(withNav = true))} AS main_text FROM documents",
+
+      "ex_links" ->
+        """WITH p AS (SELECT doc_id, '<html><body><p>' || text || '</p><a href="/doc/'
+          |    || CAST((doc_id * 7 + 3) % 101 AS VARCHAR) || '">ref '
+          |    || CAST(doc_id % 13 AS VARCHAR) || '</a> <a href="/doc/'
+          |    || CAST((doc_id * 11 + 5) % 101 AS VARCHAR) || '">see '
+          |    || CAST(doc_id % 17 AS VARCHAR) || '</a></body></html>' AS html
+          |  FROM documents),
+          |  l AS (SELECT
+          |    unnest(regexp_extract_all(html, '<a href="([^"]*)">([^<]*)</a>', 1)) AS href,
+          |    unnest(regexp_extract_all(html, '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+          |  FROM p)
+          |SELECT href, count(*) AS n_inlinks,
+          |  count(DISTINCT anchor) AS n_anchors, min(anchor) AS first_anchor
+          |FROM l GROUP BY 1""".stripMargin,
 
       "ex_html_meta" -> {
         val H = graft.operators.HtmlMain
