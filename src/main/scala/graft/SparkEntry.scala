@@ -958,6 +958,37 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_variants"),
           min(col("doc_id")).as("keep_id"))),
 
+    // GLOBAL TRAINING ORDER (deterministic shuffle of the corpus into
+    // a total order) — the step that serializes a curated corpus into
+    // training sequence. The naive row_number() over a global ORDER BY
+    // funnels the entire corpus through ONE partition; the scale shape
+    // is the two-pass bucket rank: (1) bucket rows by a range of the
+    // sort key and count per bucket (one small agg), (2) cumulative
+    // bucket offsets via a window over the ~101-row bucket table (tiny
+    // by construction — that window is the only single-partition step
+    // and it never sees corpus rows), (3) rank = offset + row_number
+    // WITHIN the bucket (window keyed on bucket, partitions stay
+    // ~|corpus|/101). Sort key is a bijective LCG scramble of doc_id
+    // (injective below the 1000003 modulus; doc_id tie-break keeps the
+    // order total past it), so the "shuffle" is reproducible and the
+    // oracle can state the same total order directly.
+    "tp_global_order" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * 131071L + 17L, lit(1000003L))
+      val rows = docs(s, dir).select(col("doc_id"), h.as("h"),
+        (h / 10000L).cast("long").as("bkt"))
+      val offsets = rows.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+        .withColumn("offset", coalesce(sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bkt"), col("offset"))
+      rows.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("rank", col("offset") + row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bkt"))
+            .orderBy(col("h"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+    }),
+
     // Data MIXING: deterministic per-language sampling (downsample the
     // dominant language, keep the rest at high rate) — the mixture
     // step every pre-training corpus assembly runs. The gate is a pure
@@ -2008,6 +2039,11 @@ object SparkEntry {
           |  list_min(list_transform(generate_series(1, w),
           |    r -> ((((doc_id * 8 + r) % 1000003) + 1000003) % 1000003 * 131071 + 17) % 1000003)) AS draw
           |FROM d ORDER BY draw, doc_id LIMIT 100""".stripMargin,
+
+      "tp_global_order" ->
+        """SELECT doc_id, CAST(row_number() OVER (
+          |    ORDER BY (doc_id * 131071 + 17) % 1000003, doc_id) AS BIGINT) AS rank
+          |FROM documents""".stripMargin,
 
       "tp_mixture_sample" ->
         """SELECT doc_id, lang FROM documents

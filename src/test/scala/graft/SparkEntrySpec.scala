@@ -176,6 +176,13 @@ class SparkEntrySpec extends AnyFunSuite {
       s"ev_rolling must shuffle exactly once:\n${ro.take(1200)}")
     assert("Window".r.findAllIn(ro).length == 1,
       s"ev_rolling must evaluate ONE Window operator:\n${ro.take(1200)}")
+    // tp_global_order: the corpus-side rank window must be keyed on
+    // the bucket (never a corpus-wide single-partition sort); the only
+    // SinglePartition exchange feeds the ~101-row offsets table
+    val go = SparkEntry.queries("tp_global_order")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(bkt#\\d+L?".r.findFirstIn(go).isDefined,
+      s"tp_global_order's rank window must partition by bkt:\n${go.take(1500)}")
   }
 
   test("whole-stage codegen covers the normalization path") {
