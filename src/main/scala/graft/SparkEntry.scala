@@ -1692,6 +1692,16 @@ object SparkEntry {
       }.toDF("doc_id", "n_frames", "n_sampled", "width", "height")
     }),
 
+    // Streaming FIRST-TOUCH funnel twin: three conditional mins per
+    // user — monotone, order-insensitive — so the funnel runs as a
+    // plain streaming aggregation and stream ≡ batch holds under ANY
+    // arrival order (stronger than the watermark-admissible family;
+    // pinned in StreamingSpec with a scrambled-batch run). Contrast
+    // ev_funnel's chained min-after semantics, which needs the full
+    // event set per stage and is the BATCH-only face.
+    "st_funnel" -> ((s, dir) =>
+      graft.streaming.EventsStream.funnelBatchEquivalent(s, s"$dir/events.parquet")),
+
     // Stateful-streaming twin: gap-based user sessionization — the
     // flatMapGroupsWithState operator's batch twin (identical session
     // boundaries via lag + cumulative sum; stream ≡ batch pinned in
@@ -2532,6 +2542,18 @@ object SparkEntry {
       "st_windowed_agg" ->
         ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_epoch, " +
           "event_type, count(*) AS n, round(sum(value), 6) AS total_value FROM events GROUP BY 1, 2"),
+
+      "st_funnel" ->
+        """WITH f AS (SELECT user_id,
+          |    min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+          |    min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+          |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1)
+          |SELECT user_id, CAST(1
+          |  + (CASE WHEN c IS NOT NULL AND c > v THEN 1 ELSE 0 END)
+          |  + (CASE WHEN c IS NOT NULL AND c > v AND p IS NOT NULL AND p > c
+          |     THEN 1 ELSE 0 END) AS BIGINT) AS reached
+          |FROM f WHERE v IS NOT NULL""".stripMargin,
 
       "st_json_extract" ->
         ("SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start_epoch, " +

@@ -84,6 +84,45 @@ object EventsStream {
   def jsonBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
     jsonWindowedAgg(spark.read.schema(eventsSchema).parquet(dir))
 
+  // ---- streaming first-touch funnel ----------------------------------------
+
+  /** FIRST-TOUCH funnel through the state store: a user reaches stage
+    * 2 if their first click came after their first view, stage 3 if
+    * additionally their first purchase came after that first click.
+    * The per-user state is three conditional MINs — monotone and
+    * merge-order-INSENSITIVE — so this runs as a plain streaming
+    * aggregation (no custom state machine) and stream ≡ batch holds
+    * under ANY arrival order, not just watermark-admissible ones: a
+    * deliberately stronger guarantee than the chained min-after
+    * semantics of ev_funnel, whose stage-k threshold depends on
+    * stage-k-1 and therefore cannot be maintained with bounded
+    * order-insensitive state (the two definitions are both standard;
+    * the divergence case is a user who clicked both before and after
+    * their first view). ONE definition runs as the stream and the
+    * batch twin/oracle. Complete-mode memory sink is the sandbox
+    * harness choice (as for the other complete-mode ops); production
+    * emits Update-mode upserts.
+    */
+  def funnelAgg(events: DataFrame): DataFrame =
+    events.where(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v"),
+        min(when(col("event_type") === "click", col("ts"))).as("c"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      .where(col("v").isNotNull)
+      .select(col("user_id"),
+        (lit(1L)
+          + when(col("c").isNotNull && col("c") > col("v"), 1L).otherwise(0L)
+          + when(col("c").isNotNull && col("c") > col("v") &&
+              col("p").isNotNull && col("p") > col("c"), 1L).otherwise(0L))
+          .as("reached"))
+
+  def runFunnelOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runCompleteWith(spark, dir, queryName, funnelAgg)
+
+  def funnelBatchEquivalent(spark: SparkSession, dir: String): DataFrame =
+    funnelAgg(spark.read.schema(eventsSchema).parquet(dir))
+
   // ---- streaming windowed quantile sketches -------------------------------
 
   /** Watermarked per-(day-window, event_type) quantile summary — the

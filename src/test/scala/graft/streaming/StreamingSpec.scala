@@ -417,6 +417,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("first-touch funnel: stream == batch twin even under SCRAMBLED arrival order") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-05-01 00:00:00").getTime
+    def ev(id: Long, user: Long, typ: String, offMin: Int) =
+      (id, new java.sql.Timestamp(base + offMin * 60000L), user, typ, 1.0, "{}")
+    // user 1: full funnel in order; user 2: clicked BEFORE first view
+    // (and never after) -> stays at stage 1; user 3: view+click, no
+    // purchase; user 4: purchase before click -> stage 2; user 5: no
+    // view at all -> excluded
+    val all = Seq(
+      ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 9),
+      ev(4, 2, "click", 1), ev(5, 2, "view", 2),
+      ev(6, 3, "view", 0), ev(7, 3, "click", 30),
+      ev(8, 4, "view", 0), ev(9, 4, "purchase", 2), ev(10, 4, "click", 4),
+      ev(11, 5, "click", 0), ev(12, 5, "purchase", 1))
+    // deliver in a scrambled, NON-time-ordered 3-file split: the
+    // conditional-min state is order-insensitive, so the final answer
+    // must not care (no watermark-admissibility caveat needed)
+    val files = Seq(
+      Seq(all(2), all(7), all(11)),   // purchases/tails first
+      Seq(all(0), all(4), all(9), all(10), all(5)),
+      Seq(all(1), all(3), all(6), all(8)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    files.foreach { f =>
+      f.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val got = norm(EventsStream.runFunnelOnce(spark, dir, s"funnel_${System.nanoTime()}"))
+    val want = norm(EventsStream.funnelBatchEquivalent(spark, dir))
+    assert(got == want, s"stream $got != twin $want")
+    assert(got == Set((1L, 3L), (2L, 1L), (3L, 2L), (4L, 2L)),
+      s"funnel semantics drifted: $got")
+  }
+
   test("stream-static enrichment: micro-batched broadcast join == batch twin, dim rows multiply correctly") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2026-06-01 09:00:00").getTime
