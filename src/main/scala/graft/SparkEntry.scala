@@ -937,6 +937,42 @@ object SparkEntry {
         "r_id", "r_s", d = 2, q = 3)
     }),
 
+    // RECORD-LINKAGE composition: fuzzy-join edges resolved into
+    // entity clusters by the same star-contraction components engine
+    // the near-dup pipeline uses — canonical and dirty records live
+    // in disjoint id spaces (dirty offset by 10^6), every edge is a
+    // verified levenshtein<=2 match, and each cluster is one real-
+    // world entity. The oracle recursively closes the brute-force
+    // pair SQL — the tp_lsh_components pattern over j8's edges.
+    "tp_fuzzy_components" -> ((s, dir) => {
+      val F = graft.operators.FuzzyJoin
+      val d = docs(s, dir)
+      val pairs = F.fuzzyJoin(
+          d.select(col("doc_id").as("l_id"), F.canonicalCol(col("doc_id")).as("l_s")),
+          "l_id", "l_s",
+          d.select(col("doc_id").as("r_id"), F.dirtyCol(col("doc_id")).as("r_s")),
+          "r_id", "r_s", d = 2, q = 3)
+        .select(col("l_id").as("id_a"), (col("r_id") + 1000000L).as("id_b"))
+      Dedup.nearDupComponents(pairs).select(col("id"), col("label"))
+    }),
+
+    // COHORT RETENTION (first-seen day -> activity at day offset k):
+    // the engagement summary every event product ships. Cohort is one
+    // min-date agg; the join back is user-keyed; day offsets are
+    // integer datediffs, so every output cell is an exact integer.
+    // Two shuffles total (cohort agg + the (cohort, k) rollup).
+    "ev_retention" -> ((s, dir) => {
+      val e = events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .select(col("cohort").cast("string").as("cohort_day"),
+          col("k").cast("long").as("day_offset"), col("n_active"))
+    }),
+
     // Domain RANKING for crawl prioritization: PageRank power
     // iteration over the doc-derived domain link graph — ranks
     // broadcast each step so the edge table never shuffles; one
@@ -2142,6 +2178,25 @@ object SparkEntry {
           |  ROUND(LEAST(a.a_hi, b.b_hi) - GREATEST(a.a_lo, b.b_lo), 6) AS overlap
           |FROM a JOIN b ON a.user_id = b.user_id
           |  AND a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi""".stripMargin,
+
+      "tp_fuzzy_components" -> {
+        val F = graft.operators.FuzzyJoin
+        Dedup.componentsOracleSql(
+          s"""SELECT l.l_id AS id_a, r.r_id + 1000000 AS id_b FROM
+             |  (SELECT doc_id AS l_id, ${F.canonicalSql("doc_id")} AS l_s FROM documents) l
+             |  JOIN (SELECT doc_id AS r_id, ${F.dirtySql("doc_id")} AS r_s FROM documents) r
+             |  ON abs(length(l.l_s) - length(r.r_s)) <= 2
+             |    AND levenshtein(l.l_s, r.r_s) <= 2""".stripMargin)
+      },
+
+      "ev_retention" ->
+        """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+          |    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |  c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+          |SELECT CAST(c.cohort AS VARCHAR) AS cohort_day,
+          |  CAST(date_diff('day', c.cohort, e.d) AS BIGINT) AS day_offset,
+          |  count(DISTINCT e.user_id) AS n_active
+          |FROM e JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
 
       "j8_fuzzy_join" -> {
         val F = graft.operators.FuzzyJoin
