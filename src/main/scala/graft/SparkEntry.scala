@@ -956,6 +956,29 @@ object SparkEntry {
       Dedup.nearDupComponents(pairs).select(col("id"), col("label"))
     }),
 
+    // SEQUENCE PATTERN MATCHING over per-user event journeys
+    // (MATCH_RECOGNIZE-lite): each user's events collapse to an
+    // ordered initial-string ('vcpse' alphabet) via ONE hash agg —
+    // collect_list partials merge map-side, array_sort orders by
+    // (ts, event_id) inside the row, and adjacency patterns become
+    // plain regexes on the journey (codegen'd). No window, no
+    // per-user partition sort; state is bounded by per-entity
+    // activity, the inherent floor for sequence reconstruction.
+    "ev_sequence_match" -> ((s, dir) => {
+      val ini = substring(col("event_type"), 1, 1).as("i")
+      events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), ini))),
+          x => x.getField("i")), "").as("journey"))
+        .select(col("user_id"),
+          length(col("journey")).cast("long").as("n_events"),
+          col("journey").rlike("cp").as("direct_purchase"),
+          col("journey").rlike("ee").as("error_streak"),
+          col("journey"))
+    }),
+
     // COHORT RETENTION (first-seen day -> activity at day offset k):
     // the engagement summary every event product ships. Cohort is one
     // min-date agg; the join back is user-keyed; day offsets are
@@ -1009,9 +1032,15 @@ object SparkEntry {
     // order total past it), so the "shuffle" is reproducible and the
     // oracle can state the same total order directly.
     "tp_global_order" -> ((s, dir) => {
+      // bucket count is THE scaling knob: production sets it to
+      // ~|corpus| / rows-per-partition (10^12 docs at 10^7 rows per
+      // partition -> 10^5 buckets: the offsets table stays
+      // driver-trivial while no rank-window partition outgrows an
+      // executor); ~101 fits the fixture
+      val bucketWidth = 10000L
       val h = pmod(col("doc_id") * 131071L + 17L, lit(1000003L))
       val rows = docs(s, dir).select(col("doc_id"), h.as("h"),
-        (h / 10000L).cast("long").as("bkt"))
+        (h / bucketWidth).cast("long").as("bkt"))
       val offsets = rows.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
         .withColumn("offset", coalesce(sum(col("c")).over(
           org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
@@ -2188,6 +2217,16 @@ object SparkEntry {
              |  ON abs(length(l.l_s) - length(r.r_s)) <= 2
              |    AND levenshtein(l.l_s, r.r_s) <= 2""".stripMargin)
       },
+
+      "ev_sequence_match" ->
+        """WITH j AS (SELECT user_id,
+          |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+          |      AS journey
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1)
+          |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+          |  regexp_matches(journey, 'cp') AS direct_purchase,
+          |  regexp_matches(journey, 'ee') AS error_streak, journey
+          |FROM j""".stripMargin,
 
       "ev_retention" ->
         """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
