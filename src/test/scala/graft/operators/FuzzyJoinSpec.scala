@@ -67,6 +67,19 @@ class FuzzyJoinSpec extends AnyFunSuite {
     check(canon ++ Seq("", "ab"), dirty, d = 2, q = 3)
   }
 
+  test("degenerate hot-gram regime: all-identical corpus still exact (output is the true quadratic pair set)") {
+    // every string equal -> every gram group is maximally hot and the
+    // TRUE answer is all n^2 pairs; the blocking must neither lose
+    // pairs nor duplicate them (groupBy-per-pair + disjoint branches)
+    val n = 40
+    val same = Seq.fill(n)("abcdefghijkl")
+    val l = same.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("l_id", "l_s")
+    val r = same.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("r_id", "r_s")
+    val got = FuzzyJoin.fuzzyJoin(l, "l_id", "l_s", r, "r_id", "r_s", 2, 3).collect()
+    assert(got.length == n * n, s"expected ${n * n} rows, got ${got.length}")
+    assert(got.forall(_.getLong(2) == 0L))
+  }
+
   test("null strings drop, not throw") {
     val l = Seq((0L, "abc"), (1L, null)).toDF("l_id", "l_s")
     val r = Seq((0L, "abd"), (1L, null)).toDF("r_id", "r_s")
