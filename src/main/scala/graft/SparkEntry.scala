@@ -956,6 +956,36 @@ object SparkEntry {
       Dedup.nearDupComponents(pairs).select(col("id"), col("label"))
     }),
 
+    // Schema-enforced JSON INGESTION with corrupt-record routing: the
+    // first stage of every semi-structured 100 TB ingest. Lines are
+    // parsed through the real Jackson path (from_json with an explicit
+    // schema — the jsonl-source semantics without filesystem side
+    // effects: the fixture TRUNCATES every 13th serialized line
+    // in-plan — trailing-garbage corruption is NOT enough, Jackson
+    // accepts a valid leading object and ignores the tail, a parser
+    // fact this query pins), malformed rows surface as NULL structs
+    // and are routed, not dropped silently. The oracle states the
+    // expected routing outcome from the corruption rule — a parser
+    // that mangled a field or passed a corrupt line would
+    // hash-mismatch.
+    "src_json_ingest" -> ((s, dir) => {
+      val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      val raw = docs(s, dir).select(col("doc_id").as("src_id"),
+        when(col("doc_id") % 13 === 0, line.substr(lit(1), length(line) - 5))
+          .otherwise(line).as("line"))
+      // PERMISSIVE + corrupt-record column: the jsonl-source routing
+      // semantics exactly — a malformed line lands raw in _corrupt
+      // (fields null), a parsed line leaves _corrupt null
+      raw.select(col("src_id"),
+          from_json(col("line"),
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt STRING",
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+        .select(col("src_id"), col("r.doc_id").as("doc_id"),
+          col("r.lang").as("lang"), col("r.n_chars").as("n_chars"),
+          col("r._corrupt").isNull.as("valid"))
+    }),
+
     // SEQUENCE PATTERN MATCHING over per-user event journeys
     // (MATCH_RECOGNIZE-lite): each user's events collapse to an
     // ordered initial-string ('vcpse' alphabet) via ONE hash agg —
@@ -2217,6 +2247,16 @@ object SparkEntry {
              |  ON abs(length(l.l_s) - length(r.r_s)) <= 2
              |    AND levenshtein(l.l_s, r.r_s) <= 2""".stripMargin)
       },
+
+      // the routing CONTRACT stated from the corruption rule: corrupt
+      // lines (every 13th) parse to nothing, the rest round-trip
+      "src_json_ingest" ->
+        """SELECT doc_id AS src_id,
+          |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END AS doc_id,
+          |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+          |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_chars,
+          |  doc_id % 13 <> 0 AS valid
+          |FROM documents""".stripMargin,
 
       "ev_sequence_match" ->
         """WITH j AS (SELECT user_id,
