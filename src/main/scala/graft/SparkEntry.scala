@@ -649,6 +649,20 @@ object SparkEntry {
         Dedup.repetitionFracCol(col("text"), 3).as("dup_3gram_frac"),
         (Dedup.repetitionFracCol(col("text"), 2) > 0.9).as("flagged"))),
 
+    // Equi-width HISTOGRAM per event type (the distribution summary
+    // behind every monitoring dashboard): one hash agg on the
+    // (type, bucket) pair — bucket ids are integer floor(value/w), so
+    // bins are exact and mergeable; empty bins are absent rows by
+    // design (the renderer densifies, not the engine — at 10^12 rows
+    // materializing empties would manufacture |types|x|range| rows).
+    "ev_histogram" -> ((s, dir) =>
+      events(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          floor(col("value") / 100.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))),
+
     // WINSORIZATION (per-group outlier clipping at [p05, p95]) — the
     // standard robust-stats step before aggregating noisy measures.
     // Bounds come from one grouped percentile agg (|groups| rows,
@@ -2310,6 +2324,11 @@ object SparkEntry {
            |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted
            |FROM p""".stripMargin
       },
+
+      "ev_histogram" ->
+        """SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+          |  count(*) AS n, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+          |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
       "tp_winsorize" ->
         """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,

@@ -106,3 +106,85 @@ object ZOrderLake {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 }
+
+/** SMALL-FILE COMPACTION — the lake-maintenance pass (Delta OPTIMIZE /
+  * Iceberg rewrite_data_files equivalent on the parquet seam). A
+  * streaming/micro-batch writer accretes thousands of KB-sized files;
+  * at 100 TB that turns every scan's task planning and footer-read
+  * phase into the bottleneck long before row decoding starts.
+  *
+  * The plan is FIRST-FIT-DECREASING bin packing of file sizes into
+  * target-sized bins — deterministic (sizes desc, path asc tie-break),
+  * driver-side over the file LISTING only (one metadata pass, no data
+  * read; at 10^6 files this is a few MB of listing). Each bin rewrites
+  * as one task-parallel read of just its member files coalesced to a
+  * single output file; files already at or above the target pass
+  * through UNREWRITTEN (rewriting big files would be pure write
+  * amplification). The rewrite lands in a fresh directory + atomic
+  * rename at the END — a killed compaction leaves the source intact
+  * (the ExtractionJob resumability rule applied to maintenance).
+  */
+object CompactLake {
+  import org.apache.hadoop.fs.Path
+
+  /** First-fit-decreasing pack of (path, size) into <= target bins;
+    * returns bins of member indices. Pure and deterministic.
+    */
+  def planBins(sizes: Seq[Long], target: Long): Seq[Seq[Int]] = {
+    require(target > 0, "target must be positive")
+    val order = sizes.zipWithIndex.sortBy { case (sz, i) => (-sz, i) }
+    val binSum = scala.collection.mutable.ArrayBuffer[Long]()
+    val binMembers = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]()
+    order.foreach { case (sz, i) =>
+      binSum.indices.find(b => binSum(b) + sz <= target) match {
+        case Some(b) => binSum(b) += sz; binMembers(b) += i
+        case None =>
+          binSum += sz
+          binMembers += scala.collection.mutable.ArrayBuffer(i)
+      }
+    }
+    binMembers.map(_.toSeq).toSeq
+  }
+
+  /** Compact `dir` in place: bins under `targetBytes` merge to one
+    * file each, larger files copy through untouched. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(hadoop)
+    val files = fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val (big, small) = files.partition(_.getLen >= targetBytes)
+    val bins = planBins(small.map(_.getLen).toSeq, targetBytes)
+    val tmp = new Path(dir + ".compact-tmp")
+    fs.delete(tmp, true); fs.mkdirs(tmp)
+    bins.zipWithIndex.foreach { case (bin, i) =>
+      spark.read.parquet(bin.map(j => small(j).getPath.toString): _*)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(tmp, s"bin-$i").toString)
+    }
+    // assemble the final layout: big files + one file per bin, then
+    // one atomic directory swap
+    val out = new Path(dir + ".compact-out")
+    fs.delete(out, true); fs.mkdirs(out)
+    big.zipWithIndex.foreach { case (f, i) =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new Path(out, f"part-big-$i%05d.parquet"), false, hadoop)
+    }
+    bins.indices.foreach { i =>
+      val part = fs.listStatus(new Path(tmp, s"bin-$i"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1, s"bin $i produced ${part.length} files")
+      fs.rename(part.head.getPath, new Path(out, f"part-bin-$i%05d.parquet"))
+    }
+    fs.delete(tmp, true)
+    val old = new Path(dir + ".compact-old")
+    fs.delete(old, true)
+    require(fs.rename(new Path(dir), old), s"swap failed for $dir")
+    require(fs.rename(out, new Path(dir)), s"swap-in failed for $dir")
+    fs.delete(old, true)
+    (files.length, big.length + bins.length)
+  }
+}

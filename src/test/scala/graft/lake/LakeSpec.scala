@@ -105,4 +105,45 @@ class LakeSpec extends AnyFunSuite {
     val back = lake.read(spark, "t").orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(back == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("bin packing: deterministic FFD, every bin under target, singletons for oversize-by-themselves") {
+    val sizes = Seq(700L, 300L, 300L, 200L, 900L, 100L, 50L)
+    val bins = CompactLake.planBins(sizes, target = 1000L)
+    // every input exactly once
+    assert(bins.flatten.sorted == sizes.indices.toList)
+    // no bin exceeds the target
+    bins.foreach(b => assert(b.map(sizes).sum <= 1000L, s"overfull bin $b"))
+    // deterministic: same input -> same plan
+    assert(bins == CompactLake.planBins(sizes, 1000L))
+  }
+
+  test("compaction: data identical, small files merged to target-sized bins, big files pass through") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 40 tiny files (micro-batch accretion shape)
+    spark.range(0, 4000).select(col("id"),
+        concat(lit("row-"), col("id")).as("text"))
+      .repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+      .as[(Long, String)].collect().toSet
+    val fileSize = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).max
+    // target ~8 source files per bin
+    val (nBefore, nAfter) = CompactLake.compact(spark, dir, fileSize * 8)
+    assert(nBefore == 40 && nAfter < 10, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(after == before, "compaction must not change a single row")
+    val afterFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(afterFiles.length == nAfter)
+    // a file already >= target passes through byte-identical
+    val dir2 = Files.createTempDirectory("graft-compact2").toString + "/t"
+    spark.range(0, 1000).toDF("id").coalesce(1).write.parquet(dir2)
+    val bigBytes = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.length
+    val (b2, a2) = CompactLake.compact(spark, dir2, targetBytes = 10L)
+    assert(b2 == 1 && a2 == 1)
+    val kept = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(kept.length == bigBytes, "oversize file must not be rewritten")
+  }
 }
