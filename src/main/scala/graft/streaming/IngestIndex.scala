@@ -187,6 +187,58 @@ object IngestIndex {
     }
   }
 
+  /** SNAPSHOT CONSOLIDATION of the accreting state (the maintenance
+    * pass): after K batches each state table holds K+1 `batch_id`
+    * directories x P bucket dirs — probe-time listing and footer
+    * reads grow with BATCH COUNT even though the pruned data volume
+    * does not (the small-files problem, vertically: CompactLake
+    * solves it within a directory, this solves it across the batch
+    * axis). Batches [-1..upTo] rewrite into ONE `batch_id=upTo`
+    * partition, repartitioned to one file per probe bucket, so the
+    * table returns to its day-one P-file layout while `batch_id <
+    * k` visibility semantics and directory-level probe pruning are
+    * untouched (pc stays a partition column; consolidating UNDER the
+    * highest replaced id keeps every later batch's read set
+    * identical). Gate decisions are provably unchanged: the state is
+    * a SET of rows per access path, and consolidation is a
+    * partition-preserving rewrite of that set.
+    *
+    * Crash window: the consolidated slice is fully written to a temp
+    * dir BEFORE any source dir is removed, but the remove+rename of
+    * K directories is not one atomic commit — on raw parquet that
+    * window is the documented residual (an Iceberg snapshot commit
+    * is the production answer, same note as BASELINE.md); the temp
+    * dir suffices for manual recovery.
+    */
+  def compactState(spark: SparkSession, stateDir: String, upToBatch: Long): Unit = {
+    val conf = readConf(spark, stateDir)
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    import org.apache.hadoop.fs.Path
+    Seq(("meta", "pdoc"), ("banded", "pbkt"), ("digests", "pdig")).foreach {
+      case (t, pc) =>
+        val root = new Path(s"$stateDir/$t")
+        val fs = root.getFileSystem(hadoop)
+        val batchDirs = fs.listStatus(root).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("batch_id="))
+          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upToBatch)
+        if (batchDirs.length > 1) {
+          val tmp = new Path(s"$stateDir/$t.compact")
+          fs.delete(tmp, true)
+          spark.read.option("basePath", s"$stateDir/$t").parquet(s"$stateDir/$t")
+            .where(col("batch_id") <= upToBatch)
+            .drop("batch_id")
+            .repartition(conf.p, col(pc))
+            .write.mode("overwrite").partitionBy(pc).parquet(tmp.toString)
+          batchDirs.foreach(d => fs.delete(d.getPath, true))
+          // drop the writer's _SUCCESS etc. at the partition root so
+          // the consolidated dir looks exactly like a batch write
+          fs.listStatus(tmp).filter(_.isFile).foreach(f => fs.delete(f.getPath, false))
+          require(fs.rename(tmp, new Path(root, s"batch_id=$upToBatch")),
+            s"compaction swap-in failed for $t")
+        }
+    }
+  }
+
   /** Gate ONE batch against the persisted state and accrete its
     * admitted slices — the body `ingestStreamIndexed` runs per
     * micro-batch, exposed so the batch smoke (SketchSmoke) and tests

@@ -272,6 +272,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("do not match the state"))
   }
 
+  test("state compaction: batch dirs consolidate to one snapshot, later gate decisions identical, pruning intact") {
+    import spark.implicits._
+    def toks(seed: Int, n: Int) = (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val corpus = Seq((0L, toks(7, 30)), (2L, toks(8, 30))).toDF("doc_id", "text")
+    val textA = toks(1, 30)
+    val b0 = Seq((11L, textA)).toDF("doc_id", "text")
+    // 13 exact-dups the batch-0 admission, 15 near-dups it — both must
+    // reject off COMPACTED state exactly as off raw state
+    val b1 = Seq((13L, textA), (15L, toks(1, 29) + " zz_changed"),
+      (17L, toks(9, 30))).toDF("doc_id", "text")
+    def mk(tag: String) = {
+      val sd = java.nio.file.Files.createTempDirectory(s"graft-cmp-$tag").toString
+      val od = java.nio.file.Files.createTempDirectory(s"graft-cmpo-$tag").toString
+      IngestIndex.initState(corpus, sd, bands = 8, rowsPerBand = 4)
+      IngestIndex.gateBatch(b0, 0L, sd, od, bands = 8, rowsPerBand = 4, threshold = 0.8)
+      (sd, od)
+    }
+    val (sdA, odA) = mk("a") // will compact
+    val (sdB, odB) = mk("b") // control
+    IngestIndex.compactState(spark, sdA, upToBatch = 0L)
+    // structure: each table now has exactly ONE batch dir (batch_id=0)
+    for (t <- Seq("meta", "banded", "digests")) {
+      val dirs = new java.io.File(s"$sdA/$t").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(dirs.map(_.getName).toSet == Set("batch_id=0"),
+        s"$t not consolidated: ${dirs.map(_.getName).mkString(",")}")
+    }
+    // state content identical as a set
+    def metaIds(sd: String) = spark.read.parquet(s"$sd/meta")
+      .select("doc_id").as[Long].collect().toSet
+    assert(metaIds(sdA) == metaIds(sdB))
+    // batch 1 decides identically off compacted vs raw state
+    IngestIndex.gateBatch(b1, 1L, sdA, odA, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    IngestIndex.gateBatch(b1, 1L, sdB, odB, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    def admitted(od: String) = spark.read.parquet(s"$od/batch_id=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted(odA) == Set(17L) && admitted(odB) == Set(17L),
+      s"compacted ${admitted(odA)} vs control ${admitted(odB)}")
+    // probe pruning still fires on the consolidated layout
+    val state = new IngestIndex.PrunedSketchState(spark, sdA, batchId = 2L,
+      p = IngestIndex.DefaultStateBuckets)
+    val (_, bb) = graft.operators.Dedup.sketchSlices(b1, 8, 4)
+    val plan = state.banded(bb.select(col("band"), col("bucket")).distinct())
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbkt".r.findFirstIn(plan).isDefined,
+      s"pruning lost after compaction:\n${plan.take(900)}")
+  }
+
   test("indexed gate containment face: a Jaccard-invisible excerpt rejects on BOTH gate faces") {
     import spark.implicits._
     // corpus doc embedded verbatim inside 4x new text: symmetric
