@@ -1535,9 +1535,13 @@ object SparkEntry {
     // ln((N+1)/(df+1))+1, rank per doc. The rank window partitions by
     // doc_id, so each partition holds ONE document's distinct terms
     // (bounded by document length) — the safe window shape, unlike
-    // the per-query corpus-wide windows TopKByScore replaced. Ties
-    // (same tf, same df) break on term asc; both engines run the
-    // identical integer-ratio-into-ln arithmetic.
+    // the per-query corpus-wide windows TopKByScore replaced. The
+    // rank ORDERS BY THE ROUNDED score (then term asc): both engines
+    // feed the same integer ratio into ln, but Java Math.log and
+    // DuckDB's libm may differ in the last ulp — ranking raw doubles
+    // would hinge on that; at 6 decimals the comparison is engine-
+    // identical and residual ties break deterministically (the BM25
+    // summation-order lesson, applied at authoring time).
     "ta_keywords_tfidf" -> ((s, dir) => {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(Dedup.wordSeqCol(col("text"))).as("term"))
@@ -1546,13 +1550,13 @@ object SparkEntry {
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
       val scored = tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
         .withColumn("score",
-          col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1))
+          round(col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1), 6))
       scored.withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
             .orderBy(col("score").desc, col("term").asc)))
         .where(col("rank") <= 3)
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
-          col("term"), round(col("score"), 6).as("score"))
+          col("term"), col("score"))
     }),
 
     "ta_token_freq" -> ((s, dir) =>
@@ -2612,13 +2616,13 @@ object SparkEntry {
           |  dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
           |  nn AS (SELECT count(*) AS n FROM documents),
           |  s AS (SELECT tf.doc_id, tf.term,
-          |      tf.tf * (ln((nn.n + 1.0) / (dft.df + 1.0)) + 1) AS score
+          |      ROUND(tf.tf * (ln((nn.n + 1.0) / (dft.df + 1.0)) + 1), 6) AS score
           |    FROM tf JOIN dft USING (term), nn),
           |  r AS (SELECT doc_id, term, score, row_number() OVER (
           |      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
           |    FROM s)
           |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
-          |  ROUND(score, 6) AS score FROM r WHERE rank <= 3""".stripMargin,
+          |  score FROM r WHERE rank <= 3""".stripMargin,
 
       "ta_token_freq" ->
         ("WITH t AS (SELECT unnest(list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), x -> x <> '')) AS token FROM documents) " +
