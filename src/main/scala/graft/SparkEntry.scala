@@ -1061,6 +1061,24 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_variants"),
           min(col("doc_id")).as("keep_id"))),
 
+    // Fractional UPSAMPLING with replacement (rare-language
+    // oversampling, the replication twin of tp_mixture_sample's
+    // downsampling gate): weight 3.5x emits 3 copies always + a 4th
+    // behind a deterministic integer-hash gate with probability 0.5 —
+    // epochs-style mixing without engine RNG. explode(sequence(...))
+    // is a narrow generator (no shuffle); the copy multiplier is
+    // decided per row at scan time.
+    "tp_upsample" -> ((s, dir) => {
+      val w10 = when(col("lang") === "zh", 35)
+        .when(col("lang") === "fr", 20).otherwise(10)
+      val gate = pmod(pmod(col("doc_id"), lit(1000003L)) * 131071L + 17L,
+        lit(1000003L)) % 10
+      val copies = (w10 / 10).cast("long") +
+        when(gate < w10 % 10, 1L).otherwise(0L)
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), copies)).as("copy_no"))
+    }),
+
     // GLOBAL TRAINING ORDER (deterministic shuffle of the corpus into
     // a total order) — the step that serializes a curated corpus into
     // training sequence. The naive row_number() over a global ORDER BY
@@ -2162,6 +2180,17 @@ object SparkEntry {
           |  list_min(list_transform(generate_series(1, w),
           |    r -> ((((doc_id * 8 + r) % 1000003) + 1000003) % 1000003 * 131071 + 17) % 1000003)) AS draw
           |FROM d ORDER BY draw, doc_id LIMIT 100""".stripMargin,
+
+      "tp_upsample" ->
+        """WITH d AS (SELECT doc_id, lang,
+          |    CASE WHEN lang = 'zh' THEN 35 WHEN lang = 'fr' THEN 20
+          |      ELSE 10 END AS w10,
+          |    ((((doc_id % 1000003) + 1000003) % 1000003) * 131071 + 17)
+          |      % 1000003 % 10 AS g
+          |  FROM documents)
+          |SELECT doc_id, lang, CAST(unnest(generate_series(1, (w10 // 10)
+          |  + CASE WHEN g < w10 % 10 THEN 1 ELSE 0 END)) AS BIGINT) AS copy_no
+          |FROM d""".stripMargin,
 
       "tp_global_order" ->
         """SELECT doc_id, CAST(row_number() OVER (
