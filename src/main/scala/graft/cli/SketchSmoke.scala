@@ -111,6 +111,23 @@ object SketchSmoke {
         spark.read.parquet(s"$gateOut/batch_id=$k").count()
       }
     }
+    // state consolidation: squash the accreted batch dirs back to the
+    // one-snapshot layout and re-gate a batch — decisions must be
+    // identical and the probe must not regress (at 10^3-10^4 batch
+    // dirs the listing/footer saving dominates; here the point is the
+    // measured NON-regression plus the structural file-count drop)
+    timed("ingest_state_compact") {
+      graft.streaming.IngestIndex.compactState(spark, stateDir, upToBatch = 2L)
+      new java.io.File(s"$stateDir/banded").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch_id=")).toLong
+    }
+    timed("ingest_indexed_postcmp") {
+      graft.streaming.IngestIndex.gateBatch(batchOf(2), 3L, stateDir, gateOut,
+        bands = 8, rowsPerBand = 4, threshold = 0.8)
+      // batch 2's docs were all admitted at batch 2 and are now state:
+      // every one must reject against the compacted snapshot
+      spark.read.parquet(s"$gateOut/batch_id=3").count()
+    }
 
     // round-6 ops at scale: the bounded-memory heavy-hitter sketch
     // (shuffle independent of the ~n/2-key vocabulary — the exact
