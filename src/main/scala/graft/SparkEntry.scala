@@ -1000,6 +1000,23 @@ object SparkEntry {
           col("r._corrupt").isNull.as("valid"))
     }),
 
+    // Event TRANSITION matrix (Markov flow between consecutive events
+    // per user — the "what happens after an error" summary): one lag
+    // window per user (partition bounded by user activity, the same
+    // safe shape as ev_rolling) feeding one hash agg on the
+    // (from, to) pair. All integer counts.
+    "ev_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_evt"), col("event_type").as("to_evt"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // SEQUENCE PATTERN MATCHING over per-user event journeys
     // (MATCH_RECOGNIZE-lite): each user's events collapse to an
     // ordered initial-string ('vcpse' alphabet) via ONE hash agg —
@@ -2304,6 +2321,14 @@ object SparkEntry {
           |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_chars,
           |  doc_id % 13 <> 0 AS valid
           |FROM documents""".stripMargin,
+
+      "ev_transitions" ->
+        """WITH t AS (SELECT event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS prev
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+          |SELECT prev AS from_evt, event_type AS to_evt, count(*) AS n
+          |FROM t WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
       "ev_sequence_match" ->
         """WITH j AS (SELECT user_id,
