@@ -589,11 +589,17 @@ object SparkEntry {
     "tp_full_curation" -> ((s, dir) => {
       val d = docs(s, dir)
       val keepers = Dedup.exactGroups(d).select(col("keep_id").as("doc_id"))
+      // the gated survivor set is MATERIALIZED once (r07): it feeds
+      // the near-dup pair mining AND the final anti-join — the
+      // un-materialized plan re-ran the exact-dedup semi-join +
+      // quality/repetition gates for each consumer (the components
+      // base-checkpoint rationale applied one level up)
       val gated = d.join(keepers, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), col("text"),
           TS.qualityScoreCol(col("text")).as("quality"))
         .where(col("quality") >= 0.5 &&
           Dedup.repetitionFracCol(col("text"), 2) <= 0.9)
+        .localCheckpoint(true)
       val labels = Dedup.nearDupComponents(
         Dedup.jaccardPairs(gated, idWindow = 25, threshold = 0.8)
           .select(col("id_a"), col("id_b")))
@@ -675,9 +681,12 @@ object SparkEntry {
     // order dependence anywhere.
     "tp_winsorize" -> ((s, dir) => {
       val ev = events(s, dir).where(col("value").isNotNull)
+      // r07: clip bounds through the Quantiles size switch (exact at
+      // every driver scale — same oracle; see ev_quantiles)
+      val exact = graft.operators.Quantiles.useExact(ev)
       val bounds = ev.groupBy(col("event_type")).agg(
-        expr("percentile(value, 0.05)").as("lo"),
-        expr("percentile(value, 0.95)").as("hi"))
+        graft.operators.Quantiles.pct(exact, "value", 0.05).as("lo"),
+        graft.operators.Quantiles.pct(exact, "value", 0.95).as("hi"))
       ev.join(broadcast(bounds), Seq("event_type"))
         .select(col("event_id"), col("event_type"),
           round(least(greatest(col("value"), col("lo")), col("hi")), 6)
@@ -716,12 +725,20 @@ object SparkEntry {
     // ≡ DuckDB `quantile_cont`, same type-7 linear interpolation) —
     // the latency/size-distribution summary every event pipeline ships;
     // one shuffle, partial aggregation upstream
-    "ev_quantiles" -> ((s, dir) =>
-      events(s, dir).groupBy(col("event_type")).agg(
+    // r07 (round-6 verdict #6): percentiles route through the
+    // Quantiles size switch — exact below ExactMaxRows (every driver
+    // scale: bit-identical to the old direct percentile, same oracle),
+    // bounded-memory approx_percentile above (the 10^12-row OOM
+    // guard); approx-regime contract pinned in SparkEntrySpec.
+    "ev_quantiles" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val exact = graft.operators.Quantiles.useExact(ev)
+      ev.groupBy(col("event_type")).agg(
         count(lit(1)).as("n"),
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.9)"), 6).as("p90"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+        round(graft.operators.Quantiles.pct(exact, "value", 0.5), 6).as("p50"),
+        round(graft.operators.Quantiles.pct(exact, "value", 0.9), 6).as("p90"),
+        round(graft.operators.Quantiles.pct(exact, "value", 0.99), 6).as("p99"))
+    }),
 
     // PRODUCTION face of the quantile summary (round-4 verdict #1):
     // exact `percentile` materializes a per-group value buffer — with
@@ -853,8 +870,12 @@ object SparkEntry {
     // the EXTRACTED text (quality floor + exact-dedup keeper) — the
     // end-to-end chain the north rule describes, in one oracle
     "ex_web_pipeline" -> ((s, dir) => {
+      // extraction runs once (r07): the un-materialized form re-ran
+      // the HtmlMain strip (a heavy chained-regex projection) for both
+      // the exact-dedup digest pass and the quality pass
       val extracted = docs(s, dir).select(col("doc_id"),
         graft.operators.HtmlMain.mainContentCol(pageCol(withNav = false)).as("text"))
+        .localCheckpoint(true)
       val keepers = Dedup.exactGroups(extracted).select(col("keep_id").as("doc_id"))
       extracted
         .select(col("doc_id"), TS.qualityScoreCol(col("text")).as("quality"))
@@ -1544,17 +1565,24 @@ object SparkEntry {
     "ta_collocations" -> ((s, dir) => {
       val txt = when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" zig zag"))).otherwise(col("text"))
+      // both count tables are MATERIALIZED once and their scalar
+      // totals DERIVED from them (r07): nu == sum of unigram counts,
+      // nb == sum of bigram counts — the un-materialized form re-ran
+      // the corpus explode for each of the four consumers
       val w = docs(s, dir).select(Dedup.wordSeqCol(txt).as("w"))
         .where(size(col("w")) >= 2)
-      val uni = w.select(explode(col("w")).as("t"))
-      val uc = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val nu = uni.agg(count(lit(1)).as("nu"))
-      val bi = w.select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+      val uc = w.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val nu = uc.agg(sum(col("c")).as("nu"))
+      val cab = w.select(explode(transform(sequence(lit(1), size(col("w")) - 1),
           i => struct(element_at(col("w"), i).as("a"),
             element_at(col("w"), i + 1).as("b")))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-      val nb = bi.agg(count(lit(1)).as("nb"))
-      bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint(true)
+      val nb = cab.agg(sum(col("c_ab")).as("nb"))
+      cab
         .where(col("c_ab") >= 20)
         .join(uc.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
         .join(uc.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
@@ -1578,9 +1606,13 @@ object SparkEntry {
     // identical and residual ties break deterministically (the BM25
     // summation-order lesson, applied at authoring time).
     "ta_keywords_tfidf" -> ((s, dir) => {
+      // tf is MATERIALIZED once (r07): it feeds both the df aggregate
+      // and the scored join — un-materialized, each consumer re-ran
+      // the corpus explode+agg
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(Dedup.wordSeqCol(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
       val scored = tf.join(dfT, Seq("term")).crossJoin(broadcast(n))

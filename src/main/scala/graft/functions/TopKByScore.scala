@@ -20,7 +20,13 @@ final class TopKHeap(val k: Int) {
     if (pq.size < k) { pq.add(new TopKHeap.Entry(score, id)); () }
     else {
       val w = pq.peek()
-      if (score > w.score || (java.lang.Double.compare(score, w.score) == 0 && id < w.id)) {
+      // Double.compare throughout (r06 advice): a bare `score >
+      // w.score` is false for a NaN candidate, which would silently
+      // DROP it where Spark's `ORDER BY score DESC` ranks NaN first —
+      // Double.compare orders NaN greatest, matching the window form
+      // exactly (NaN case pinned in OperatorsSpec).
+      val c = java.lang.Double.compare(score, w.score)
+      if (c > 0 || (c == 0 && id < w.id)) {
         pq.poll(); pq.add(new TopKHeap.Entry(score, id)); ()
       }
     }

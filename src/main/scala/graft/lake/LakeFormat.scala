@@ -120,9 +120,15 @@ object ZOrderLake {
   * as one task-parallel read of just its member files coalesced to a
   * single output file; files already at or above the target pass
   * through UNREWRITTEN (rewriting big files would be pure write
-  * amplification). The rewrite lands in a fresh directory + atomic
-  * rename at the END — a killed compaction leaves the source intact
-  * (the ExtractionJob resumability rule applied to maintenance).
+  * amplification). The rewrite lands in a fresh directory with the
+  * swap at the END — a compaction killed BEFORE the swap leaves the
+  * source intact (the ExtractionJob resumability rule applied to
+  * maintenance). The swap itself is two renames, not one atomic
+  * commit (r06 advice): a crash between them leaves no table dir and
+  * the data stranded in `.compact-old` — `compact` recovers that
+  * window on entry by renaming `.compact-old` back before starting,
+  * so a re-run always sees the full source (the Iceberg-snapshot
+  * residual, same note as IngestIndex.compactState).
   */
 object CompactLake {
   import org.apache.hadoop.fs.Path
@@ -153,6 +159,14 @@ object CompactLake {
   def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
     val hadoop = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(hadoop)
+    // recover-on-entry (r06 advice): a crash between the two swap
+    // renames below leaves `dir` missing and the source stranded in
+    // `.compact-old` — restore it before listing so the re-run
+    // compacts the full source instead of failing on a missing dir
+    val oldDir = new Path(dir + ".compact-old")
+    if (!fs.exists(new Path(dir)) && fs.exists(oldDir))
+      require(fs.rename(oldDir, new Path(dir)),
+        s"crash recovery failed: cannot restore $oldDir to $dir")
     val files = fs.listStatus(new Path(dir))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)

@@ -65,12 +65,20 @@ object FuzzyJoin {
     val w = d + 1                 // position/length bucket width
     val shortMax = q + d * q - 1  // count-filter threshold <= 0 at or below
 
+    // both sides are MATERIALIZED once (r07): each is consumed twice
+    // (gram/short candidate generation + the verify fetch-back), and
+    // the un-materialized plan re-evaluated the upstream string
+    // derivation for every consumer — for expression-derived inputs
+    // (the fixture's canonical/dirty columns) that is the dominant
+    // per-pass CPU. Slim tables: (id, string, length).
     val l = left.where(col(lS).isNotNull)
       .select(col(lId).as("l_id"), col(lS).as("l_s"),
         length(col(lS)).as("l_len"))
+      .localCheckpoint(true)
     val r = right.where(col(rS).isNotNull)
       .select(col(rId).as("r_id"), col(rS).as("r_s"),
         length(col(rS)).as("r_len"))
+      .localCheckpoint(true)
 
     def grams(df: DataFrame, id: String, s: String, len: String,
               pos: String) =
@@ -116,9 +124,10 @@ object FuzzyJoin {
     gramCands.union(shortCands)
       .join(l.select(col("l_id"), col("l_s")), Seq("l_id"))
       .join(r.select(col("r_id"), col("r_s")), Seq("r_id"))
-      .where(levenshtein(col("l_s"), col("r_s")) <= d)
       .select(col("l_id"), col("r_id"),
         levenshtein(col("l_s"), col("r_s")).cast("long").as("dist"))
+      .where(col("dist") <= d)
+      .select(col("l_id"), col("r_id"), col("dist"))
   }
 
   // ---- deterministic record-linkage fixture (testdata is uniform,

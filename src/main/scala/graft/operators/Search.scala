@@ -81,7 +81,12 @@ object Search {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(Dedup.wordSeqCol(col("text"))).as("token"))
+    // the frequency table is MATERIALIZED once (r07): it feeds both
+    // the corpus-total aggregate and the occurrence join — the
+    // un-materialized plan re-ran the corpus explode+agg for each
+    // (3 full passes total; now 2: one for freq, one for the join)
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("nf"))
+      .localCheckpoint(true)
     val total = freq.agg(sum(col("nf")).as("n_total"))
     tok.join(freq, Seq("token"))
       .crossJoin(broadcast(total))
@@ -126,9 +131,16 @@ object Search {
         slice(col("w"), lit(2), size(col("w")) - 1),
         (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    // bigram counts are the model's sufficient statistics: c(a·)
+    // DERIVES from c(ab) (sum over b), so the corpus bigram explode
+    // runs once for training instead of twice, and the model rides ONE
+    // join back onto the occurrence stream instead of two (r07 — fab
+    // is bigram-vocab-sized and materialized once)
     val fab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-    val fa = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-    pairs.join(fab, Seq("a", "b")).join(fa, Seq("a"))
+      .localCheckpoint(true)
+    val fa = fab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val model = fab.join(fa, Seq("a"))
+    pairs.join(model, Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("cab").cast("double") / col("ca").cast("double"))), 6)

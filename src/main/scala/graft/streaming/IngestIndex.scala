@@ -92,9 +92,14 @@ object IngestIndex {
     Seq((bands, rowsPerBand, shingleN, nStateBuckets))
       .toDF("bands", "rows_per_band", "shingle_n", "n_state_buckets")
       .write.mode("overwrite").parquet(s"$stateDir/config")
-    val (m, b) = Dedup.sketchSlices(
-      corpus.select(col("doc_id"), col("text")), bands, rowsPerBand, shingleN)
-    writeSlices(spark, m, b, stateDir, -1L, nStateBuckets)
+    // corpus text is scanned + hashed exactly ONCE (r07): the banded
+    // slice derives from the materialized meta, and the checkpoint is
+    // freed as soon as both writes land
+    val m = Dedup.sketchMeta(
+      corpus.select(col("doc_id"), col("text")), shingleN).localCheckpoint(true)
+    try writeSlices(spark, m, Dedup.bandedOf(m, bands, rowsPerBand),
+      stateDir, -1L, nStateBuckets)
+    finally org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(m)
   }
 
   private def readConf(spark: SparkSession, stateDir: String): Conf = {
@@ -156,6 +161,11 @@ object IngestIndex {
     */
   final class PrunedSketchState(spark: SparkSession, stateDir: String,
                                 batchId: Long, p: Int) extends Dedup.SketchState {
+    // a compaction killed mid-swap must never be probed half-blind:
+    // complete any recorded swap before the first read (one fs.exists
+    // when idle — see compactState's crash-safety note)
+    recoverCompaction(spark, stateDir)
+
     private def slice(name: String) =
       spark.read.option("basePath", s"$stateDir/$name").parquet(s"$stateDir/$name")
         .where(col("batch_id") < batchId)
@@ -203,39 +213,108 @@ object IngestIndex {
     * a SET of rows per access path, and consolidation is a
     * partition-preserving rewrite of that set.
     *
-    * Crash window: the consolidated slice is fully written to a temp
-    * dir BEFORE any source dir is removed, but the remove+rename of
-    * K directories is not one atomic commit — on raw parquet that
-    * window is the documented residual (an Iceberg snapshot commit
-    * is the production answer, same note as BASELINE.md); the temp
-    * dir suffices for manual recovery.
+    * REPLAY CONTRACT (r06 advice): `upToBatch` MUST already be
+    * committed to the streaming checkpoint (or otherwise final). A
+    * replayed batch k reads `batch_id < k` and OVERWRITES its own
+    * `batch_id = k` partitions — if the not-yet-committed latest
+    * batch owned the consolidated dir, its replay would first read an
+    * emptied state (wrong admissions) and then destroy the snapshot.
+    * Compacting strictly below the highest replayable batch (or only
+    * after the checkpoint commit, as the batch twins do) is the
+    * caller's obligation; the maintenance pass cannot see the
+    * checkpoint's commit log from here.
+    *
+    * Crash safety (r07, round-6 verdict #4): two-phase commit with a
+    * marker file. Phase 1 writes ALL consolidated slices to
+    * `<table>.compact` temp dirs (a crash here leaves the state
+    * untouched; stale temps are deleted on the next run). Phase 2
+    * atomically creates `.compact-commit` (write temp + rename)
+    * naming `upToBatch`, then swaps each table (delete source dirs,
+    * rename temp in) and removes the marker. A crash ANYWHERE in
+    * phase 2 is recovered by [[recoverCompaction]] — run on every
+    * state open (PrunedSketchState) and on compactState entry — which
+    * completes the recorded swap from the surviving temps, so a
+    * half-swapped state is never probed.
     */
+  private val Tables = Seq(("meta", "pdoc"), ("banded", "pbkt"), ("digests", "pdig"))
+
   def compactState(spark: SparkSession, stateDir: String, upToBatch: Long): Unit = {
     val conf = readConf(spark, stateDir)
     val hadoop = spark.sparkContext.hadoopConfiguration
     import org.apache.hadoop.fs.Path
-    Seq(("meta", "pdoc"), ("banded", "pbkt"), ("digests", "pdig")).foreach {
-      case (t, pc) =>
-        val root = new Path(s"$stateDir/$t")
-        val fs = root.getFileSystem(hadoop)
-        val batchDirs = fs.listStatus(root).filter(_.isDirectory)
-          .filter(_.getPath.getName.startsWith("batch_id="))
-          .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upToBatch)
-        if (batchDirs.length > 1) {
-          val tmp = new Path(s"$stateDir/$t.compact")
-          fs.delete(tmp, true)
-          spark.read.option("basePath", s"$stateDir/$t").parquet(s"$stateDir/$t")
-            .where(col("batch_id") <= upToBatch)
-            .drop("batch_id")
-            .repartition(conf.p, col(pc))
-            .write.mode("overwrite").partitionBy(pc).parquet(tmp.toString)
-          batchDirs.foreach(d => fs.delete(d.getPath, true))
-          // drop the writer's _SUCCESS etc. at the partition root so
-          // the consolidated dir looks exactly like a batch write
-          fs.listStatus(tmp).filter(_.isFile).foreach(f => fs.delete(f.getPath, false))
-          require(fs.rename(tmp, new Path(root, s"batch_id=$upToBatch")),
-            s"compaction swap-in failed for $t")
-        }
+    val fs = new Path(stateDir).getFileSystem(hadoop)
+    recoverCompaction(spark, stateDir) // finish any interrupted swap first
+    // phase 1: fully write every consolidated slice to its temp dir
+    val todo = Tables.filter { case (t, pc) =>
+      val root = new Path(s"$stateDir/$t")
+      val batchDirs = fs.listStatus(root).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch_id="))
+        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upToBatch)
+      if (batchDirs.length > 1) {
+        val tmp = new Path(s"$stateDir/$t.compact")
+        fs.delete(tmp, true)
+        spark.read.option("basePath", s"$stateDir/$t").parquet(s"$stateDir/$t")
+          .where(col("batch_id") <= upToBatch)
+          .drop("batch_id")
+          .repartition(conf.p, col(pc))
+          .write.mode("overwrite").partitionBy(pc).parquet(tmp.toString)
+        true
+      } else false
+    }
+    if (todo.isEmpty) return
+    // phase 2: commit marker (atomic create via temp + rename), swap,
+    // clear marker
+    val marker = new Path(s"$stateDir/.compact-commit")
+    val markerTmp = new Path(s"$stateDir/.compact-commit.tmp")
+    val out = fs.create(markerTmp, true)
+    try out.write(upToBatch.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false)
+    require(fs.rename(markerTmp, marker), s"cannot commit compaction marker $marker")
+    todo.foreach { case (t, _) => finishSwap(fs, stateDir, t, upToBatch) }
+    fs.delete(marker, false)
+    ()
+  }
+
+  /** Complete one table's recorded swap: delete the source batch dirs,
+    * strip the writer's root files from the temp, rename it in as
+    * `batch_id=upToBatch`. Idempotent — a table whose temp is already
+    * gone was swapped before the crash.
+    */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+                         t: String, upToBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$stateDir/$t")
+    val tmp = new Path(s"$stateDir/$t.compact")
+    if (fs.exists(tmp)) {
+      fs.listStatus(root).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch_id="))
+        .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= upToBatch)
+        .foreach(d => fs.delete(d.getPath, true))
+      // drop the writer's _SUCCESS etc. at the partition root so
+      // the consolidated dir looks exactly like a batch write
+      fs.listStatus(tmp).filter(_.isFile).foreach(f => fs.delete(f.getPath, false))
+      require(fs.rename(tmp, new Path(root, s"batch_id=$upToBatch")),
+        s"compaction swap-in failed for $t")
+    }
+  }
+
+  /** Recover an interrupted compaction: if the commit marker exists,
+    * finish every recorded swap from the surviving temp dirs and clear
+    * the marker. One fs.exists when there is nothing to do — cheap
+    * enough to run on every state open.
+    */
+  def recoverCompaction(spark: SparkSession, stateDir: String): Unit = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir).getFileSystem(hadoop)
+    val marker = new Path(s"$stateDir/.compact-commit")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val upTo = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+                 finally in.close()
+      Tables.foreach { case (t, _) => finishSwap(fs, stateDir, t, upTo) }
+      fs.delete(marker, false)
+      ()
     }
   }
 
@@ -258,10 +337,11 @@ object IngestIndex {
     // admitted-state writes — without the checkpoint each consumer
     // would re-tokenize the batch (the "sketched exactly once"
     // contract, review round-5); `kept` likewise (plan-reevaluation
-    // trap: see ingestBatchTwin)
-    val (bm0, bb0) = Dedup.sketchSlices(b, bands, rowsPerBand, shingleN)
-    val bm = bm0.localCheckpoint(true)
-    val bb = bb0.localCheckpoint(true)
+    // trap: see ingestBatchTwin). The banded slice derives from the
+    // CHECKPOINTED meta (r07): batch text is read and hashed once,
+    // the band explosion is integer mixing over stored toks.
+    val bm = Dedup.sketchMeta(b, shingleN).localCheckpoint(true)
+    val bb = Dedup.bandedOf(bm, bands, rowsPerBand).localCheckpoint(true)
     val kept = Dedup.indexedIngestFilter(bm, bb, state,
       threshold, maxBucketSize, containment).localCheckpoint(true)
     def admitted(df: DataFrame) = df.join(kept, Seq("doc_id"), "left_semi")
@@ -317,18 +397,18 @@ object IngestIndex {
                              threshold: Double, shingleN: Int = 1,
                              maxBucketSize: Int = Dedup.MaxBucketSize,
                              containment: Option[Double] = None): DataFrame = {
-    val (cm, cb) = Dedup.sketchSlices(
-      corpus.select(col("doc_id"), col("text")), bands, rowsPerBand, shingleN)
-    var sm = cm.localCheckpoint(true)
-    var sb = cb.localCheckpoint(true)
+    // corpus/batch text is scanned + hashed exactly once (r07): every
+    // banded slice derives from its checkpointed meta
+    var sm = Dedup.sketchMeta(
+      corpus.select(col("doc_id"), col("text")), shingleN).localCheckpoint(true)
+    var sb = Dedup.bandedOf(sm, bands, rowsPerBand).localCheckpoint(true)
     val tagged = newDocs.select(col("doc_id"), col("text"), batchOf.as("bno"))
     var out: DataFrame = null
     for (bi <- 0 until nBatches) {
       val b = tagged.where(col("bno") === bi).select(col("doc_id"), col("text"))
       // one materialization per batch's slices (see gateBatch)
-      val (bm0, bb0) = Dedup.sketchSlices(b, bands, rowsPerBand, shingleN)
-      val bm = bm0.localCheckpoint(true)
-      val bb = bb0.localCheckpoint(true)
+      val bm = Dedup.sketchMeta(b, shingleN).localCheckpoint(true)
+      val bb = Dedup.bandedOf(bm, bands, rowsPerBand).localCheckpoint(true)
       val kept = Dedup.indexedIngestFilter(bm, bb,
         Dedup.InMemorySketchState(sm, sb), threshold, maxBucketSize, containment)
         .localCheckpoint(true)

@@ -320,6 +320,61 @@ class StreamingSpec extends AnyFunSuite {
       s"pruning lost after compaction:\n${plan.take(900)}")
   }
 
+  test("state compaction crash window: killed between delete and rename, reopen recovers, decisions identical") {
+    import spark.implicits._
+    def toks(seed: Int, n: Int) = (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    val corpus = Seq((0L, toks(7, 30)), (2L, toks(8, 30))).toDF("doc_id", "text")
+    val textA = toks(1, 30)
+    val b0 = Seq((11L, textA)).toDF("doc_id", "text")
+    val b1 = Seq((13L, textA), (15L, toks(1, 29) + " zz_changed"),
+      (17L, toks(9, 30))).toDF("doc_id", "text")
+    def mk(tag: String) = {
+      val sd = java.nio.file.Files.createTempDirectory(s"graft-crash-$tag").toString
+      val od = java.nio.file.Files.createTempDirectory(s"graft-crasho-$tag").toString
+      IngestIndex.initState(corpus, sd, bands = 8, rowsPerBand = 4)
+      IngestIndex.gateBatch(b0, 0L, sd, od, bands = 8, rowsPerBand = 4, threshold = 0.8)
+      (sd, od)
+    }
+    val (sdC, odC) = mk("c") // will crash mid-compaction
+    val (sdD, odD) = mk("d") // control, never compacted
+    // replicate compactState's phase 1 + marker, then "crash" at the
+    // worst point of phase 2: meta's SOURCE DIRS ARE DELETED but its
+    // consolidated temp is NOT yet renamed in; the other two tables
+    // have not been touched. Without recovery, the next gate would
+    // read an EMPTY meta (admitting exact/near dups it must reject).
+    val p = IngestIndex.DefaultStateBuckets
+    for ((t, pc) <- Seq(("meta", "pdoc"), ("banded", "pbkt"), ("digests", "pdig"))) {
+      spark.read.option("basePath", s"$sdC/$t").parquet(s"$sdC/$t")
+        .where(col("batch_id") <= 0L).drop("batch_id")
+        .repartition(p, col(pc))
+        .write.mode("overwrite").partitionBy(pc).parquet(s"$sdC/$t.compact")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$sdC/.compact-commit"),
+      "0".getBytes("UTF-8"))
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
+    }
+    new java.io.File(s"$sdC/meta").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).foreach(rmRec)
+    // reopen: the gate's state open must complete the recorded swap
+    // before the first probe — decisions identical to the control
+    IngestIndex.gateBatch(b1, 1L, sdC, odC, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    IngestIndex.gateBatch(b1, 1L, sdD, odD, bands = 8, rowsPerBand = 4, threshold = 0.8)
+    def admitted1(od: String) = spark.read.parquet(s"$od/batch_id=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted1(odC) == Set(17L) && admitted1(odD) == Set(17L),
+      s"crash-recovered ${admitted1(odC)} vs control ${admitted1(odD)}")
+    // marker cleared, every table consolidated to batch_id=0 (+ the
+    // new batch_id=1 slices the gate just appended)
+    assert(!new java.io.File(s"$sdC/.compact-commit").exists(), "marker not cleared")
+    for (t <- Seq("meta", "banded", "digests")) {
+      val dirs = new java.io.File(s"$sdC/$t").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSet
+      assert(dirs == Set("batch_id=0", "batch_id=1"), s"$t dirs: $dirs")
+      assert(!new java.io.File(s"$sdC/$t.compact").exists(), s"$t temp not consumed")
+    }
+  }
+
   test("indexed gate containment face: a Jaccard-invisible excerpt rejects on BOTH gate faces") {
     import spark.implicits._
     // corpus doc embedded verbatim inside 4x new text: symmetric
