@@ -599,7 +599,7 @@ object SparkEntry {
           TS.qualityScoreCol(col("text")).as("quality"))
         .where(col("quality") >= 0.5 &&
           Dedup.repetitionFracCol(col("text"), 2) <= 0.9)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val labels = Dedup.nearDupComponents(
         Dedup.jaccardPairs(gated, idWindow = 25, threshold = 0.8)
           .select(col("id_a"), col("id_b")))
@@ -875,7 +875,7 @@ object SparkEntry {
       // the exact-dedup digest pass and the quality pass
       val extracted = docs(s, dir).select(col("doc_id"),
         graft.operators.HtmlMain.mainContentCol(pageCol(withNav = false)).as("text"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val keepers = Dedup.exactGroups(extracted).select(col("keep_id").as("doc_id"))
       extracted
         .select(col("doc_id"), TS.qualityScoreCol(col("text")).as("quality"))
@@ -1565,28 +1565,29 @@ object SparkEntry {
     "ta_collocations" -> ((s, dir) => {
       val txt = when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" zig zag"))).otherwise(col("text"))
-      // both count tables are MATERIALIZED once and their scalar
-      // totals DERIVED from them (r07): nu == sum of unigram counts,
-      // nb == sum of bigram counts — the un-materialized form re-ran
-      // the corpus explode for each of the four consumers
+      // r07: the corpus totals need NO explode at all — nu is the sum
+      // of per-doc token counts and nb the sum of per-doc bigram
+      // counts (identical values to counting the exploded streams),
+      // so both ride ONE narrow scalar agg. Neither count table is
+      // checkpointed (measured): materializing vocab-sized string
+      // tables costs more than the one extra explode it saves, so the
+      // unigram table recomputes per join (2 explodes, vs 3+2 before
+      // the totals derivation).
       val w = docs(s, dir).select(Dedup.wordSeqCol(txt).as("w"))
         .where(size(col("w")) >= 2)
+      val totals = w.agg(sum(size(col("w"))).as("nu"),
+        sum(size(col("w")) - 1).as("nb"))
       val uc = w.select(explode(col("w")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
-      val nu = uc.agg(sum(col("c")).as("nu"))
-      val cab = w.select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+      w.select(explode(transform(sequence(lit(1), size(col("w")) - 1),
           i => struct(element_at(col("w"), i).as("a"),
             element_at(col("w"), i + 1).as("b")))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-        .localCheckpoint(true)
-      val nb = cab.agg(sum(col("c_ab")).as("nb"))
-      cab
         .where(col("c_ab") >= 20)
         .join(uc.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
         .join(uc.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
-        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .crossJoin(broadcast(totals))
         .select(col("a"), col("b"), col("c_ab"),
           round(log((col("c_ab") * col("nu") * col("nu")) /
             (col("nb") * col("c_a") * col("c_b"))), 6).as("pmi"))
@@ -1612,7 +1613,7 @@ object SparkEntry {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(Dedup.wordSeqCol(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
       val scored = tf.join(dfT, Seq("term")).crossJoin(broadcast(n))

@@ -109,11 +109,12 @@ object AsOf {
       lit(null).cast("long").as("left_id"),
       col(rightId).cast("long").as("r_id"), col(rightVal).cast("double").as("r_val"),
       lit(0).as("is_left"))
-    // the tagged union feeds THREE consumers (the [min,max] range agg,
-    // the windowed scan, the per-bucket finals agg) — materialize it
-    // once (r07); the range agg below is the action that computes it
+    // the tagged union feeds three consumers (the [min,max] range agg,
+    // the windowed scan, the per-bucket finals agg); deliberately NOT
+    // checkpointed (r07 measured it): each consumer's column-pruned
+    // re-scan of the two source tables is cheaper than materializing
+    // and re-reading the full union at every scale
     val u0 = l.unionByName(r).withColumn("tsu", unix_micros(col("ts")))
-      .localCheckpoint(false)
     val mmRow = u0.agg(min(col("tsu")), max(col("tsu"))).head()
     // empty input, or every ts NULL (min skips nulls): constants are
     // arbitrary then — null-ts rows land in the NULL bucket, which

@@ -74,11 +74,11 @@ object FuzzyJoin {
     val l = left.where(col(lS).isNotNull)
       .select(col(lId).as("l_id"), col(lS).as("l_s"),
         length(col(lS)).as("l_len"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val r = right.where(col(rS).isNotNull)
       .select(col(rId).as("r_id"), col(rS).as("r_s"),
         length(col(rS)).as("r_len"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     def grams(df: DataFrame, id: String, s: String, len: String,
               pos: String) =

@@ -47,7 +47,7 @@ object NaiveBayes {
     // model-sized (vocab x classes) by NB's own applicability
     // assumption; blocks reclaimed per-query by Bench/Verify.
     val cnt = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tot = cnt.groupBy("lang").agg(sum(col("c")).as("t"))
     val voc = cnt.select("tok").distinct()
     val vn = voc.agg(count(lit(1)).as("v"))

@@ -86,7 +86,7 @@ object Search {
     // un-materialized plan re-ran the corpus explode+agg for each
     // (3 full passes total; now 2: one for freq, one for the join)
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("nf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val total = freq.agg(sum(col("nf")).as("n_total"))
     tok.join(freq, Seq("token"))
       .crossJoin(broadcast(total))
@@ -137,7 +137,7 @@ object Search {
     // join back onto the occurrence stream instead of two (r07 — fab
     // is bigram-vocab-sized and materialized once)
     val fab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val fa = fab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val model = fab.join(fa, Seq("a"))
     pairs.join(model, Seq("a", "b"))
