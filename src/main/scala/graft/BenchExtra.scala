@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Extra benchmark main for the optimization rounds (guide §1.4):
   * times a chosen subset of SparkEntry queries in ISOLATION with the
-  * noop sink (same session config and per-query-min-of-2 protocol as
+  * noop sink (same session config and per-query-min-of-N protocol as
   * graft.Bench, which stays frozen) and optionally dumps each query's
   * `.explain("formatted")` to a directory for plan-diff evidence.
   *
@@ -41,6 +41,39 @@ object BenchExtra {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Write each query's formatted plan to `dir/<name>_<suffix>.txt`
+    * (session-agnostic body, CliSmokeSpec-coverable).
+    */
+  def dumpPlans(spark: SparkSession, sfDir: String, names: Seq[String],
+                dir: String, suffix: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    for (n <- names) {
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/${n}_$suffix.txt"),
+        plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench-extra] wrote $dir/${n}_$suffix.txt")
+    }
+  }
+
+  /** Time the named queries (noop-forced, min over `passes`
+    * interleaved passes; session-agnostic body) and return
+    * name -> per-pass seconds in pass order.
+    */
+  def run(spark: SparkSession, sfDir: String, names: Seq[String],
+          passes: Int): Map[String, List[Double]] = {
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    for (_ <- 0 until passes; n <- names) {
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val sec = time(force(SparkEntry.queries(n)(spark, sfDir)))
+      results(n) = results.getOrElse(n, Nil) :+ sec
+      org.apache.spark.sql.graft.ColumnBridge.reclaimNewRdds(spark, persistedBefore)
+    }
+    results.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -54,18 +87,9 @@ object BenchExtra {
     val spark = session(cpus)
 
     if (plansOnly) {
-      val dir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r07")
-      val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      for (n <- names) {
-        val df = SparkEntry.queries(n)(spark, sfDir)
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$dir/${n}_$suffix.txt"),
-          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        System.err.println(s"[bench-extra] wrote $dir/${n}_$suffix.txt")
-      }
+      dumpPlans(spark, sfDir, names,
+        sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r07"),
+        sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before"))
       spark.stop()
       return
     }
@@ -77,17 +101,12 @@ object BenchExtra {
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .foreach(p => force(spark.read.parquet(p)))
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    for (_ <- 0 until passes; n <- names) {
-      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-      val sec = time(force(SparkEntry.queries(n)(spark, sfDir)))
-      results(n) = results.getOrElse(n, Nil) :+ sec
-      org.apache.spark.sql.graft.ColumnBridge.reclaimNewRdds(spark, persistedBefore)
-    }
+    val results = run(spark, sfDir, names, passes)
     spark.stop()
-    val qs = results.map { case (k, ts) =>
+    val ordered = names.map(n => n -> results(n))
+    val qs = ordered.map { case (k, ts) =>
       f""""$k":${ts.min}%.3f""" }.mkString("{", ",", "}")
-    val raw = results.map { case (k, ts) =>
+    val raw = ordered.map { case (k, ts) =>
       s""""$k":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_extra","unit":"sec","queries":$qs,"passes":$raw,"sf":"$sfDir"}""")
   }

@@ -32,4 +32,13 @@ class CliSmokeSpec extends AnyFunSuite {
   test("PlanAudit.run audits a query plan without throwing") {
     PlanAudit.run(spark, sfDir, Seq("ev_anomaly"))
   }
+
+  test("BenchExtra.run times a query and dumpPlans writes its formatted plan") {
+    val got = graft.BenchExtra.run(spark, sfDir, Seq("t7_basename"), passes = 1)
+    assert(got("t7_basename").size == 1 && got("t7_basename").head > 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-planx").toString
+    graft.BenchExtra.dumpPlans(spark, sfDir, Seq("t7_basename"), dir, "smoke")
+    val f = java.nio.file.Paths.get(s"$dir/t7_basename_smoke.txt")
+    assert(java.nio.file.Files.size(f) > 0, "plan dump empty")
+  }
 }
